@@ -1,0 +1,221 @@
+"""Batched modular linear algebra over R_q via int8 digit matmuls.
+
+THE core TPU trick of this framework. Every hot operation of the PVW scheme
+— the NTT (degree <= 32, so it's a dense matmul), the key-generation product
+``s^T A`` (``crs.rs:138-171``), the encryption products ``A·r`` and ``B·r``
+(``crs.rs:177-205``, ``encryption.rs:177-192``), and the decryption inner
+product ``<s, c1>`` (``decryption.rs:257-271``) — is a matrix contraction
+whose scalars are residues mod a 62-bit prime.
+
+TPUs do not multiply 64-bit integers, but the MXU multiplies int8 at
+hundreds of TOPS. So residues are decomposed into eight balanced signed
+8-bit digits (exact; see :func:`pvw_tpu.ops.u64.to_signed_digits`), the
+contraction runs as a single int8->int32 ``dot_general`` over the stacked
+digit axes, the 8x8 digit products are summed into 15 convolution columns
+(|column| < 2^31 for contraction length <= 8192), and the columns are folded
+back into residues with per-limb Shoup constant multiplications by
+2^(8c) mod q.
+
+This is NOT how the reference computes — it does per-element u64
+Barrett/NTT products on CPU (fhe-math ``zq``); a faithful port would leave
+the MXU idle. The digit-matmul formulation keeps >95% of the arithmetic on
+the systolic array.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import u64 as u
+from .u64 import MAX_CONTRACTION
+
+if TYPE_CHECKING:  # params.ring imports ops; avoid a runtime cycle
+    from ..params.ring import RingPlan
+
+D = u.NUM_DIGITS          # 8
+C = u.NUM_COLUMNS         # 15
+
+
+# --------------------------------------------------------------------------
+# digit helpers
+# --------------------------------------------------------------------------
+
+def digits(hi, lo):
+    """Pair [...]-shaped residues -> int8 digits [..., 8]."""
+    return u.to_signed_digits(hi, lo)
+
+
+def _column_sums(p6):
+    """P [..., 8(i), m, 8(j), n] int32 -> columns [..., m, n, 15] int32.
+
+    cols[c] = sum_{i+j=c} P[i, :, j, :].
+    """
+    outs = []
+    for c in range(C):
+        lo_i = max(0, c - (D - 1))
+        hi_i = min(D - 1, c)
+        acc = None
+        for i in range(lo_i, hi_i + 1):
+            term = p6[..., i, :, c - i, :]
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    return jnp.stack(outs, axis=-1)
+
+
+def _fold_leading(cols, ring: "RingPlan"):
+    """Fold columns shaped [L, ..., 15] (limb axis leading)."""
+    nmid = cols.ndim - 2  # dims between the leading L axis and the 15 axis
+    shp = (ring.num_limbs,) + (1,) * nmid + (C,)
+    qshp = (ring.num_limbs,) + (1,) * nmid
+    ph = jnp.asarray(ring.pow_hi).reshape(shp)
+    pl = jnp.asarray(ring.pow_lo).reshape(shp)
+    pw = jnp.asarray(ring.pow_wp32).reshape(shp)
+    qh = jnp.asarray(ring.q_hi).reshape(qshp)
+    ql = jnp.asarray(ring.q_lo).reshape(qshp)
+    return u.fold_columns(cols, ph, pl, pw, qh, ql)
+
+
+def _fold_trailing(cols, ring: "RingPlan"):
+    """Fold columns shaped [..., L, l, 15] (limb axis next-to-last-but-one)."""
+    ph = jnp.asarray(ring.pow_hi)[:, None, :]
+    pl = jnp.asarray(ring.pow_lo)[:, None, :]
+    pw = jnp.asarray(ring.pow_wp32)[:, None, :]
+    qh = jnp.asarray(ring.q_hi)[:, None]
+    ql = jnp.asarray(ring.q_lo)[:, None]
+    return u.fold_columns(cols, ph, pl, pw, qh, ql)
+
+
+# --------------------------------------------------------------------------
+# the channel-batched matmul
+# --------------------------------------------------------------------------
+
+def matmul_channels(lhs, rhs, ring: "RingPlan"):
+    """Modular matmul over per-(limb, slot) channels.
+
+    lhs: pair of uint32 [L, S, m, k]; rhs: pair of uint32 [L, S, k, n]
+    -> pair of uint32 [L, S, m, n] with every entry reduced mod q_limb.
+
+    S is any flattened channel batch sharing the limb axis (usually the l
+    NTT slots, possibly fused with extra user batches).
+    """
+    (lh, ll), (rh, rl) = lhs, rhs
+    L, S, m, k = lh.shape
+    n = rh.shape[-1]
+    if k > MAX_CONTRACTION:
+        raise ValueError(f"contraction {k} exceeds int32 headroom {MAX_CONTRACTION}")
+    ld = digits(lh, ll)                       # [L, S, m, k, 8]
+    rd = digits(rh, rl)                       # [L, S, k, n, 8]
+    l2 = jnp.transpose(ld, (0, 1, 4, 2, 3)).reshape(L, S, D * m, k)
+    r2 = jnp.transpose(rd, (0, 1, 2, 4, 3)).reshape(L, S, k, D * n)
+    p = jax.lax.dot_general(
+        l2,
+        r2,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32,
+    )                                          # [L, S, 8m, 8n]
+    p6 = p.reshape(L, S, D, m, D, n)
+    cols = _column_sums(p6)                    # [L, S, m, n, 15]
+    return _fold_leading(cols, ring)           # pair [L, S, m, n]
+
+
+def poly_matmul(a, b, ring: "RingPlan"):
+    """R_q matrix product with the canonical poly layout.
+
+    a: pair [m, k, L, l]; b: pair [k, n, L, l] -> pair [m, n, L, l].
+    Both operands must be in NTT representation (pointwise channel algebra);
+    this is the TPU shape of ``crs.rs:152-168`` / ``encryption.rs:185-192``.
+    """
+    (ah, al), (bh, bl) = a, b
+    m, k, L, l = ah.shape
+    n = bh.shape[1]
+    at = lambda x: jnp.transpose(x, (2, 3, 0, 1))   # [L, l, m, k]
+    bt = lambda x: jnp.transpose(x, (2, 3, 0, 1))   # [L, l, k, n]
+    oh, ol = matmul_channels((at(ah), at(al)), (bt(bh), bt(bl)), ring)
+    back = lambda x: jnp.transpose(x, (2, 3, 0, 1))  # -> [m, n, L, l]
+    return (back(oh), back(ol))
+
+
+# --------------------------------------------------------------------------
+# pointwise ring ops on the canonical [..., L, l] layout
+# --------------------------------------------------------------------------
+
+def _q_pair(ring: "RingPlan"):
+    return jnp.asarray(ring.q_hi)[:, None], jnp.asarray(ring.q_lo)[:, None]
+
+
+def poly_add(a, b, ring: "RingPlan"):
+    """(a + b) mod q on [..., L, l] pairs (``&p + &q`` in the reference)."""
+    qh, ql = _q_pair(ring)
+    return u.addmod(a[0], a[1], b[0], b[1], qh, ql)
+
+
+def poly_sub(a, b, ring: "RingPlan"):
+    qh, ql = _q_pair(ring)
+    return u.submod(a[0], a[1], b[0], b[1], qh, ql)
+
+
+def poly_neg(a, ring: "RingPlan"):
+    qh, ql = _q_pair(ring)
+    return u.negmod(a[0], a[1], qh, ql)
+
+
+def poly_pointwise_mul(a, b, ring: "RingPlan"):
+    """Elementwise a*b mod q on [..., L, l] pairs (NTT-domain ring product).
+
+    Digit outer products (64 int32 mults) + fold; used for the public
+    ``Poly * Poly`` API op where no contraction amortizes the digits.
+    """
+    da = digits(*a).astype(jnp.int32)          # [..., L, l, 8]
+    db = digits(*b).astype(jnp.int32)
+    p = da[..., :, None] * db[..., None, :]    # [..., L, l, 8, 8]
+    outs = []
+    for c in range(C):
+        lo_i = max(0, c - (D - 1))
+        hi_i = min(D - 1, c)
+        acc = None
+        for i in range(lo_i, hi_i + 1):
+            term = p[..., i, c - i]
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    cols = jnp.stack(outs, axis=-1)            # [..., L, l, 15]
+    return _fold_trailing(cols, ring)
+
+
+def shoup_scale_table(x, table_w, table_shoup, ring: "RingPlan"):
+    """w[L, l] * x[...] mod q -> [..., L, l]: scale a per-slot constant table
+    by a batch of u64 scalars (the gadget encode ``m * g`` inner op).
+
+    ``x``: pair of uint32 [...] (values < 2^64); tables: numpy uint64 [L, l]
+    of constants < q and their 64-bit Shoup companions.
+    """
+    wh, wl = u.split_u64_np(table_w)
+    sh, sl = u.split_u64_np(table_shoup)
+    xh = x[0][..., None, None]
+    xl = x[1][..., None, None]
+    qh = jnp.asarray(ring.q_hi)[:, None]
+    ql = jnp.asarray(ring.q_lo)[:, None]
+    return u.shoup_mul64_arr(
+        xh, xl, jnp.asarray(wh), jnp.asarray(wl), jnp.asarray(sh), jnp.asarray(sl),
+        qh, ql,
+    )
+
+
+def from_signed_coeffs(coeffs, ring: "RingPlan"):
+    """Small signed integer coefficients [..., l] (int32) -> residue pairs
+    [..., L, l] in PowerBasis (``Poly::from_coefficients`` semantics:
+    negatives wrap per modulus, ``secret_key.rs:76``)."""
+    c = jnp.asarray(coeffs, jnp.int32)[..., None, :]   # [..., 1, l]
+    neg = c < 0
+    mag = jnp.where(neg, -c, c).astype(u.U32)
+    qh, ql = _q_pair(ring)
+    nh, nl = u.sub64(qh, ql, jnp.zeros_like(mag), mag)
+    zero = mag == 0
+    hi = jnp.where(neg & ~zero, nh, jnp.zeros_like(mag))
+    lo = jnp.where(neg & ~zero, nl, jnp.where(neg, 0, mag))
+    hi = jnp.broadcast_to(hi, c.shape[:-2] + (ring.num_limbs, ring.degree))
+    lo = jnp.broadcast_to(lo, c.shape[:-2] + (ring.num_limbs, ring.degree))
+    return hi.astype(u.U32), lo.astype(u.U32)

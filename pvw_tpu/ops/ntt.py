@@ -1,0 +1,71 @@
+"""Negacyclic NTT for tiny ring degrees, as dense modular matmuls.
+
+The PVW redundancy parameter l is 8..32 (``parameters.rs:140-144``), so the
+"NTT" here is NOT a butterfly network: a full l x l twiddle matrix multiply
+is both exact and faster on TPU (it rides the same int8 digit-matmul path as
+everything else, see :mod:`pvw_tpu.ops.modmat`). The matrices are built on
+the host by :class:`pvw_tpu.params.ring.RingPlan`.
+
+Convention (documented; the reference delegates to fhe-math's
+``Representation::{PowerBasis, Ntt}`` whose internal ordering is not
+observable from the pvw-rs sources mounted here):
+
+    forward:  y[j] = sum_i x[i] * psi^(i*(2j+1))   (evaluation at odd powers
+                                                    of the 2l-th root psi)
+    inverse:  x[i] = l^{-1} * sum_j y[j] * psi^(-i*(2j+1))
+
+Pointwise products in the forward domain realize negacyclic convolution mod
+X^l + 1, which is the only property the PVW algebra relies on.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from typing import TYPE_CHECKING
+
+from . import u64 as u
+from .modmat import D, _column_sums, _fold_leading, digits
+
+if TYPE_CHECKING:  # avoid runtime import cycle with params.ring
+    from ..params.ring import RingPlan
+
+
+def _apply_matrix(x, mat_dig, ring: "RingPlan"):
+    """x: pair [..., L, l]; mat_dig: int8 numpy [L, l, l, 8] -> pair [..., L, l]."""
+    xh, xl = x
+    batch_shape = xh.shape[:-2]
+    L, l = ring.num_limbs, ring.degree
+    b = 1
+    for s in batch_shape:
+        b *= s
+    # [..., L, l] -> [L, l(i), B]
+    xh2 = jnp.moveaxis(xh.reshape(b, L, l), 0, -1)
+    xl2 = jnp.moveaxis(xl.reshape(b, L, l), 0, -1)
+    xd = digits(xh2, xl2)                                  # [L, l, B, 8]
+    rhs = jnp.transpose(xd, (0, 1, 3, 2)).reshape(L, l, D * b)
+    md = jnp.asarray(mat_dig)                              # [L, l(j), l(i), 8]
+    lhs = jnp.transpose(md, (0, 3, 1, 2)).reshape(L, D * l, l)
+    p = jax.lax.dot_general(
+        lhs,
+        rhs,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )                                                      # [L, 8l, 8B]
+    p6 = p.reshape(L, D, l, D, b)
+    cols = _column_sums(p6)                                # [L, l, B, 15]
+    oh, ol = _fold_leading(cols, ring)                     # [L, l, B]
+    oh = jnp.moveaxis(oh, -1, 0).reshape(batch_shape + (L, l))
+    ol = jnp.moveaxis(ol, -1, 0).reshape(batch_shape + (L, l))
+    return oh, ol
+
+
+def ntt_forward(x, ring: "RingPlan"):
+    """PowerBasis -> Ntt on [..., L, l] pairs."""
+    return _apply_matrix(x, ring.ntt_fwd_dig, ring)
+
+
+def ntt_inverse(x, ring: "RingPlan"):
+    """Ntt -> PowerBasis on [..., L, l] pairs."""
+    return _apply_matrix(x, ring.ntt_inv_dig, ring)

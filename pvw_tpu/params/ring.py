@@ -1,0 +1,193 @@
+"""RingPlan: the device-resident description of R_q = Z_q[X]/(X^l + 1).
+
+This replaces fhe-math's ``rq::Context`` (``parameters.rs:147``; SURVEY.md
+§2.3): it validates the NTT-friendly RNS prime chain, and precomputes every
+constant table the TPU kernels need:
+
+- per-limb negacyclic NTT matrices (degree l is tiny — 8..32 — so the NTT
+  *is* a matmul, fully MXU-resident; no butterfly network needed),
+  pre-decomposed into signed 8-bit digits for int8 contractions;
+- per-limb digit-fold tables (2^(8c) mod q_i with 32-bit Shoup companions);
+- CRT lift/reduce constants (host Python ints) for the decode path.
+
+Polynomials are stored as dense uint32 hi/lo pairs of shape ``[..., L, l]``
+(L = number of RNS limbs). There is no per-element ``Poly`` object graph —
+one tensor per logical matrix, the TPU-idiomatic inversion of the
+reference's ``Array2<Poly>`` design (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import lru_cache
+
+import numpy as np
+
+from ..errors import InvalidParameters
+from ..utils.intmath import (
+    CrtBasis,
+    primitive_root_of_unity,
+    validate_ntt_modulus,
+)
+from ..ops import u64 as u64op
+from ..ops.u64 import MAX_CONTRACTION  # noqa: F401 (re-export)
+
+# Context requirement inherited from the reference's math layer: degree must
+# be a power of two >= 8 (``parameters.rs:139-144``).
+MIN_DEGREE = 8
+
+
+def _digits_np(values: np.ndarray) -> np.ndarray:
+    """Host-side signed 8-digit decomposition of uint64 values (< 2^62).
+
+    Mirrors :func:`pvw_tpu.ops.u64.to_signed_digits` exactly; returns int8
+    with a trailing axis of length 8.
+    """
+    v = values.astype(np.uint64)
+    raw = np.stack(
+        [((v >> np.uint64(8 * i)) & np.uint64(0xFF)).astype(np.int32) for i in range(8)],
+        axis=-1,
+    )
+    out = np.zeros_like(raw)
+    carry = np.zeros(v.shape, np.int32)
+    for i in range(8):
+        t = raw[..., i] + carry
+        big = t >= 128
+        out[..., i] = np.where(big, t - 256, t)
+        carry = big.astype(np.int32)
+    if np.any(carry):
+        raise ValueError("digit decomposition overflow: value >= 2^62?")
+    return out.astype(np.int8)
+
+
+@dataclass(frozen=True)
+class LimbPlan:
+    """Per-prime constants."""
+
+    q: int
+    psi: int                      # primitive 2l-th root of unity mod q
+    ntt_fwd: np.ndarray           # uint64 [l, l]  W[j, i] = psi^(i*(2j+1))
+    ntt_inv: np.ndarray           # uint64 [l, l]  includes the 1/l factor
+    ntt_fwd_dig: np.ndarray       # int8 [l, l, 8]
+    ntt_inv_dig: np.ndarray       # int8 [l, l, 8]
+
+
+class RingPlan:
+    """Immutable plan for one (moduli, degree) ring.
+
+    Hashable/equal by (moduli, degree) so it can be a ``jit`` static
+    argument; device tables are embedded as numpy constants.
+    """
+
+    def __init__(self, moduli: tuple[int, ...], degree: int) -> None:
+        moduli = tuple(int(m) for m in moduli)
+        if len(moduli) == 0:
+            raise InvalidParameters("at least one modulus required")
+        if len(set(moduli)) != len(moduli):
+            raise InvalidParameters("moduli must be distinct")
+        if degree < MIN_DEGREE or degree & (degree - 1):
+            raise InvalidParameters(
+                "l must be power of 2 and >= 8 (fhe.rs Context requirement)"
+            )
+        for q in moduli:
+            validate_ntt_modulus(q, degree)
+
+        self.moduli = moduli
+        self.degree = int(degree)
+        self.num_limbs = len(moduli)
+        self.crt = CrtBasis(moduli)
+        self.q_total = self.crt.q
+
+        self.limbs: list[LimbPlan] = [self._build_limb(q) for q in moduli]
+
+        # Stacked device tables ------------------------------------------
+        l, L = self.degree, self.num_limbs
+        q_arr = np.array(moduli, np.uint64)
+        self.q_hi, self.q_lo = u64op.split_u64_np(q_arr)          # [L]
+        # fold tables: pow[c] = 2^(8c) mod q, c in 0..15
+        pow_vals = np.zeros((L, u64op.NUM_COLUMNS), np.uint64)
+        pow_sh32 = np.zeros((L, u64op.NUM_COLUMNS), np.uint64)
+        for i, q in enumerate(moduli):
+            for c in range(u64op.NUM_COLUMNS):
+                w = pow(2, 8 * c, q)
+                pow_vals[i, c] = w
+                pow_sh32[i, c] = (w << 32) // q
+        self.pow_hi, self.pow_lo = u64op.split_u64_np(pow_vals)    # [L, 15]
+        self.pow_wp32 = pow_sh32.astype(np.uint32)                 # [L, 15]
+        self.ntt_fwd_dig = np.stack([lp.ntt_fwd_dig for lp in self.limbs])  # [L,l,l,8]
+        self.ntt_inv_dig = np.stack([lp.ntt_inv_dig for lp in self.limbs])
+
+    # -- construction helpers ------------------------------------------
+
+    def _build_limb(self, q: int) -> LimbPlan:
+        l = self.degree
+        psi = primitive_root_of_unity(2 * l, q)
+        inv_l = pow(l, -1, q)
+        fwd = np.zeros((l, l), np.uint64)
+        inv = np.zeros((l, l), np.uint64)
+        for j in range(l):
+            e = 2 * j + 1
+            for i in range(l):
+                fwd[j, i] = pow(psi, (e * i) % (2 * l), q)
+        psi_inv = pow(psi, -1, q)
+        for i in range(l):
+            for j in range(l):
+                e = 2 * j + 1
+                inv[i, j] = inv_l * pow(psi_inv, (e * i) % (2 * l), q) % q
+        return LimbPlan(
+            q=q,
+            psi=psi,
+            ntt_fwd=fwd,
+            ntt_inv=inv,
+            ntt_fwd_dig=_digits_np(fwd),
+            ntt_inv_dig=_digits_np(inv),
+        )
+
+    # -- identity ------------------------------------------------------
+
+    def __hash__(self) -> int:
+        return hash((self.moduli, self.degree))
+
+    def __eq__(self, other: object) -> bool:
+        return (
+            isinstance(other, RingPlan)
+            and other.moduli == self.moduli
+            and other.degree == self.degree
+        )
+
+    def __repr__(self) -> str:
+        return f"RingPlan(moduli={[hex(m) for m in self.moduli]}, degree={self.degree})"
+
+    # -- host packing helpers ------------------------------------------
+
+    def residues_from_int_coeffs(self, coeffs) -> np.ndarray:
+        """List/array of Python-int coefficients (length l, any magnitude,
+        negatives allowed) -> uint64 residue matrix [L, l].
+
+        The ``bigints_to_poly`` bridge (``parameters.rs:420-474``).
+        """
+        if len(coeffs) != self.degree:
+            raise InvalidParameters(
+                f"Expected {self.degree} coefficients, got {len(coeffs)}"
+            )
+        out = np.zeros((self.num_limbs, self.degree), np.uint64)
+        for col, c in enumerate(coeffs):
+            c = int(c)
+            for row, m in enumerate(self.moduli):
+                out[row, col] = c % m
+        return out
+
+    def lift_to_ints(self, residues: np.ndarray) -> list[int]:
+        """uint64 [L, l] residues -> list of l canonical coefficients in
+        [0, q) (the ``Vec<BigUint>::from(&poly)`` CRT lift)."""
+        res = np.asarray(residues, np.uint64)
+        return [
+            self.crt.lift(tuple(int(res[i, j]) for i in range(self.num_limbs)))
+            for j in range(self.degree)
+        ]
+
+
+@lru_cache(maxsize=32)
+def get_ring(moduli: tuple[int, ...], degree: int) -> RingPlan:
+    """Memoized RingPlan constructor (plans are pure functions of inputs)."""
+    return RingPlan(tuple(moduli), degree)

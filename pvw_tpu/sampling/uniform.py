@@ -1,0 +1,77 @@
+"""Bounded-uniform error sampling, on device.
+
+Rebuild of ``sample_uniform_coefficients`` (``uniform.rs:5-22``): uniform
+integers in the closed interval [-bound, bound]. The reference draws BigInts
+with rejection sampling (``gen_bigint_range``); on TPU we draw 128 random
+bits per sample and take ``floor(X * range / 2^128)`` — statistical distance
+from uniform is < range/2^128 < 2^-66 for any bound < 2^62, i.e. negligible
+at the 128-bit security level (documented divergence: not bit-identical to
+rand's rejection loop, which is unreachable anyway because the reference
+only ever calls it through unseeded ``thread_rng``).
+
+Samples are returned directly as centered RNS residues [..., L, l], skipping
+the reference's BigInt -> ``bigints_to_poly`` detour (``parameters.rs:266``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..errors import SamplingError
+from ..ops import u64 as u
+from ..params.ring import RingPlan
+
+
+def sample_bounded_u64(key: jax.Array, shape: tuple[int, ...], range_size: int):
+    """Uniform integers in [0, range_size) as uint32 pairs, range < 2^63."""
+    if not 1 <= range_size < 1 << 63:
+        raise SamplingError(f"range {range_size} out of supported bounds")
+    bits = jax.random.bits(key, shape + (4,), dtype=jnp.uint32)
+    x_hh, x_hl = bits[..., 0], bits[..., 1]
+    x_lh, x_ll = bits[..., 2], bits[..., 3]
+    rh, rl = u.const_pair(range_size)
+    rh = jnp.broadcast_to(rh, x_hh.shape)
+    rl = jnp.broadcast_to(rl, x_hh.shape)
+    w3, w2, w1, w0 = u.mul64_wide(x_hh, x_hl, rh, rl)
+    h2h, h2l = u.mulhi64(x_lh, x_ll, rh, rl)
+    sh, sl = u.add64(w1, w0, h2h, h2l)
+    carry = u.lt64(sh, sl, w1, w0)
+    vh, vl = u.add64(w3, w2, jnp.zeros_like(w3), carry.astype(u.U32))
+    return vh, vl
+
+
+def sample_uniform_residues(
+    key: jax.Array, shape: tuple[int, ...], bound: int, ring: RingPlan
+):
+    """Uniform in [-bound, bound], embedded as residues [..., L, l].
+
+    ``shape`` must end with (l,) or be the poly batch shape; the returned
+    arrays have shape ``shape[:-1] + (L, l)`` when ``shape[-1] == l``.
+    Requires bound < min(q_i) so the signed value embeds in one subtraction.
+    """
+    bound = int(bound)
+    if bound <= 0:
+        raise SamplingError("bound must be positive")
+    if bound >= min(ring.moduli):
+        raise SamplingError(
+            f"bound {bound} >= smallest modulus; use host-side sampling"
+        )
+    vh, vl = sample_bounded_u64(key, shape, 2 * bound + 1)
+    bh, bl = u.const_pair(bound)
+    # signed value = v - bound; residue_i = (v - bound) mod q_i
+    neg = u.lt64(vh, vl, bh, bl)
+    ph, pl = u.sub64(vh, vl, bh, bl)              # v - bound   (when v >= bound)
+    mh, ml = u.sub64(bh, bl, vh, vl)              # bound - v   (when v < bound)
+    # expand limb axis
+    qh = jnp.asarray(ring.q_hi).reshape((1,) * len(shape) + (-1,))
+    ql = jnp.asarray(ring.q_lo).reshape((1,) * len(shape) + (-1,))
+    neg_e = neg[..., None]
+    nh, nl = u.sub64(qh, ql, mh[..., None], ml[..., None])
+    zero = (mh == 0) & (ml == 0)
+    hi = jnp.where(neg_e & ~zero[..., None], nh, jnp.broadcast_to(ph[..., None], nh.shape))
+    lo = jnp.where(neg_e & ~zero[..., None], nl, jnp.broadcast_to(pl[..., None], nl.shape))
+    # move limb axis before the final poly axis: [..., l, L] -> [..., L, l]
+    hi = jnp.moveaxis(hi, -1, -2)
+    lo = jnp.moveaxis(lo, -1, -2)
+    return hi.astype(u.U32), lo.astype(u.U32)

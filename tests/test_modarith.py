@@ -1,0 +1,215 @@
+"""Exactness tests for the u32-lane modular arithmetic core.
+
+Every primitive is checked against Python's arbitrary-precision integers
+over randomized inputs including adversarial edge cases (0, 1, q-1, values
+with all-ones words). This is the TPU analogue of trusting fhe-math's
+``zq`` layer (SURVEY.md §2.3) — except here it's proven by test.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pvw_tpu.ops import u64 as u
+from pvw_tpu.ops import modmat
+from pvw_tpu.params.ring import RingPlan
+
+RNG = np.random.default_rng(1234)
+MODULI = (0xFFFFEE001, 0xFFFFC4001, 0x1FFFFE0001)
+BIG_MODULI = (0x800000022A0001, 0x800000021A0001)  # 55-bit chain
+
+
+def rand_u64(shape, bound=1 << 64):
+    vals = RNG.integers(0, bound, size=shape, dtype=np.uint64) if bound <= (1 << 63) \
+        else RNG.integers(0, 1 << 63, size=shape, dtype=np.uint64) * 2 + RNG.integers(0, 2, size=shape, dtype=np.uint64)
+    return vals
+
+
+def pairs(x):
+    hi, lo = u.split_u64_np(x)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def ints(hi, lo):
+    return u.join_u64_np(np.asarray(hi), np.asarray(lo))
+
+
+class TestWideMul:
+    def test_mul32_wide_random(self):
+        x = RNG.integers(0, 1 << 32, size=(1000,), dtype=np.uint64).astype(np.uint32)
+        y = RNG.integers(0, 1 << 32, size=(1000,), dtype=np.uint64).astype(np.uint32)
+        hi, lo = u.mul32_wide(jnp.asarray(x), jnp.asarray(y))
+        got = np.asarray(hi).astype(np.uint64) << np.uint64(32) | np.asarray(lo)
+        want = x.astype(np.uint64) * y.astype(np.uint64)
+        np.testing.assert_array_equal(got, want)
+
+    def test_mul32_wide_edges(self):
+        edge = np.array([0, 1, 0xFFFF, 0x10000, 0xFFFFFFFF, 0x80000000], np.uint32)
+        xs, ys = np.meshgrid(edge, edge)
+        hi, lo = u.mul32_wide(jnp.asarray(xs.ravel()), jnp.asarray(ys.ravel()))
+        got = np.asarray(hi).astype(np.uint64) << np.uint64(32) | np.asarray(lo)
+        want = xs.ravel().astype(np.uint64) * ys.ravel().astype(np.uint64)
+        np.testing.assert_array_equal(got, want)
+
+    def test_mul64_wide_random(self):
+        x = rand_u64((500,))
+        y = rand_u64((500,))
+        w3, w2, w1, w0 = u.mul64_wide(*pairs(x), *pairs(y))
+        for i in range(500):
+            want = int(x[i]) * int(y[i])
+            got = (
+                int(np.asarray(w3)[i]) << 96
+            ) | (int(np.asarray(w2)[i]) << 64) | (int(np.asarray(w1)[i]) << 32) | int(
+                np.asarray(w0)[i]
+            )
+            assert got == want
+
+    def test_add_sub64(self):
+        x = rand_u64((500,))
+        y = rand_u64((500,))
+        sh, sl = u.add64(*pairs(x), *pairs(y))
+        np.testing.assert_array_equal(
+            ints(sh, sl), (x + y)  # numpy uint64 wraps mod 2^64
+        )
+        dh, dl = u.sub64(*pairs(x), *pairs(y))
+        np.testing.assert_array_equal(ints(dh, dl), (x - y))
+
+    def test_cmp64(self):
+        x = rand_u64((500,))
+        y = rand_u64((500,))
+        lt = np.asarray(u.lt64(*pairs(x), *pairs(y)))
+        np.testing.assert_array_equal(lt, x < y)
+
+
+@pytest.mark.parametrize("q", list(MODULI) + list(BIG_MODULI))
+class TestModOps:
+    def test_addmod_submod(self, q):
+        x = rand_u64((400,), q).astype(np.uint64)
+        y = rand_u64((400,), q).astype(np.uint64)
+        qh, ql = u.const_pair(q)
+        sh, sl = u.addmod(*pairs(x), *pairs(y), qh, ql)
+        np.testing.assert_array_equal(
+            ints(sh, sl), (x.astype(object) + y.astype(object)) % q
+        )
+        dh, dl = u.submod(*pairs(x), *pairs(y), qh, ql)
+        np.testing.assert_array_equal(
+            ints(dh, dl), (x.astype(object) - y.astype(object)) % q
+        )
+
+    def test_negmod(self, q):
+        x = np.concatenate([[0, 1, q - 1], rand_u64((100,), q)]).astype(np.uint64)
+        qh, ql = u.const_pair(q)
+        nh, nl = u.negmod(*pairs(x), qh, ql)
+        np.testing.assert_array_equal(ints(nh, nl), (-x.astype(object)) % q)
+
+    def test_shoup_mul64(self, q):
+        w = int(RNG.integers(0, q))
+        wp, _ = u.shoup_constants(w, q)
+        x = np.concatenate([[0, 1, q - 1, (1 << 64) - 1], rand_u64((500,))]).astype(
+            np.uint64
+        )
+        rh, rl = u.shoup_mul_const(*pairs(x), w, wp, q)
+        want = (x.astype(object) * w) % q
+        np.testing.assert_array_equal(ints(rh, rl).astype(object), want)
+
+    def test_shoup_mul32(self, q):
+        w = int(RNG.integers(0, q))
+        _, wp32 = u.shoup_constants(w, q)
+        x = np.concatenate(
+            [[0, 1, (1 << 32) - 1], RNG.integers(0, 1 << 32, size=(500,), dtype=np.uint64)]
+        ).astype(np.uint32)
+        rh, rl = u.shoup_mul_const32(jnp.asarray(x), w, wp32, q)
+        want = (x.astype(object) * w) % q
+        np.testing.assert_array_equal(ints(rh, rl).astype(object), want)
+
+
+class TestDigits:
+    def test_roundtrip(self):
+        vals = np.concatenate(
+            [[0, 1, 255, 256, (1 << 62) - 1], rand_u64((1000,), 1 << 62)]
+        ).astype(np.uint64)
+        d = np.asarray(modmat.digits(*pairs(vals))).astype(np.int64)
+        recon = sum(d[..., i] * (1 << (8 * i)) for i in range(8))
+        np.testing.assert_array_equal(recon.astype(np.uint64), vals)
+        assert d.min() >= -128 and d.max() <= 127
+
+
+class TestMatmul:
+    @pytest.mark.parametrize("moduli", [MODULI, BIG_MODULI])
+    def test_matmul_channels_exact(self, moduli):
+        ring = RingPlan(moduli, 8)
+        L, S, m, k, n = ring.num_limbs, 3, 4, 5, 2
+        qs = np.array(moduli, np.uint64).reshape(L, 1, 1, 1)
+        a = (rand_u64((L, S, m, k)) % qs).astype(np.uint64)
+        b = (rand_u64((L, S, k, n)) % qs).astype(np.uint64)
+        oh, ol = modmat.matmul_channels(pairs(a), pairs(b), ring)
+        got = ints(oh, ol)
+        for i, q in enumerate(moduli):
+            want = np.zeros((S, m, n), object)
+            for s in range(S):
+                want[s] = (a[i, s].astype(object) @ b[i, s].astype(object)) % q
+            np.testing.assert_array_equal(got[i].astype(object), want)
+
+    def test_poly_matmul_layout(self):
+        ring = RingPlan(MODULI, 8)
+        m, k, n, L, l = 3, 4, 2, ring.num_limbs, ring.degree
+        qs = np.array(MODULI, np.uint64).reshape(1, 1, L, 1)
+        a = (rand_u64((m, k, L, l)) % qs).astype(np.uint64)
+        b = (rand_u64((k, n, L, l)) % qs).astype(np.uint64)
+        oh, ol = modmat.poly_matmul(pairs(a), pairs(b), ring)
+        got = ints(oh, ol)
+        for i, q in enumerate(MODULI):
+            for s in range(l):
+                want = (a[:, :, i, s].astype(object) @ b[:, :, i, s].astype(object)) % q
+                np.testing.assert_array_equal(got[:, :, i, s].astype(object), want)
+
+    def test_pointwise_mul(self):
+        ring = RingPlan(MODULI, 8)
+        L, l = ring.num_limbs, ring.degree
+        qs = np.array(MODULI, np.uint64).reshape(1, L, 1)
+        a = (rand_u64((7, L, l)) % qs).astype(np.uint64)
+        b = (rand_u64((7, L, l)) % qs).astype(np.uint64)
+        oh, ol = modmat.poly_pointwise_mul(pairs(a), pairs(b), ring)
+        want = (a.astype(object) * b.astype(object)) % qs.astype(object)
+        np.testing.assert_array_equal(ints(oh, ol).astype(object), want)
+
+    def test_poly_add_sub(self):
+        ring = RingPlan(MODULI, 8)
+        L, l = ring.num_limbs, ring.degree
+        qs = np.array(MODULI, np.uint64).reshape(1, L, 1)
+        a = (rand_u64((5, L, l)) % qs).astype(np.uint64)
+        b = (rand_u64((5, L, l)) % qs).astype(np.uint64)
+        sh, sl = modmat.poly_add(pairs(a), pairs(b), ring)
+        np.testing.assert_array_equal(
+            ints(sh, sl).astype(object), (a.astype(object) + b.astype(object)) % qs.astype(object)
+        )
+        dh, dl = modmat.poly_sub(pairs(a), pairs(b), ring)
+        np.testing.assert_array_equal(
+            ints(dh, dl).astype(object), (a.astype(object) - b.astype(object)) % qs.astype(object)
+        )
+
+    def test_from_signed_coeffs(self):
+        ring = RingPlan(MODULI, 8)
+        coeffs = np.array([[-3, -1, 0, 1, 2, -2, 5, -5]], np.int32)
+        hi, lo = modmat.from_signed_coeffs(jnp.asarray(coeffs), ring)
+        got = ints(hi, lo)
+        for i, q in enumerate(MODULI):
+            np.testing.assert_array_equal(
+                got[0, i].astype(object), np.array([int(c) % q for c in coeffs[0]], object)
+            )
+
+    def test_jit_compatible(self):
+        ring = RingPlan(MODULI, 8)
+
+        @jax.jit
+        def f(ah, al, bh, bl):
+            return modmat.poly_pointwise_mul((ah, al), (bh, bl), ring)
+
+        L, l = ring.num_limbs, ring.degree
+        qs = np.array(MODULI, np.uint64).reshape(1, L, 1)
+        a = (rand_u64((2, L, l)) % qs).astype(np.uint64)
+        b = (rand_u64((2, L, l)) % qs).astype(np.uint64)
+        oh, ol = f(*pairs(a), *pairs(b))
+        want = (a.astype(object) * b.astype(object)) % qs.astype(object)
+        np.testing.assert_array_equal(ints(oh, ol).astype(object), want)
