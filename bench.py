@@ -1,0 +1,115 @@
+"""Benchmark driver entry: PVW encryption throughput on real hardware.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Primary metric (BASELINE.json): encryptions/sec at n=4096 receivers
+(k=256, l=8, 2-limb RNS chain — the examples/pvw.rs modulus family).
+
+vs_baseline: the reference publishes NO numbers (BASELINE.md) and this
+image has no Rust toolchain to measure pvw-rs directly, so the baseline is
+the analytic 64-core estimate recorded in BASELINE.md (§"CPU baseline
+estimate"): ~1200 encryptions/sec, from the 17.8M NTT-domain u64 modmuls
+per encryption at ~3 ns each over 64 cores, cross-checked against the
+134 MB/encryption memory-traffic bound. Replace with a measured number
+when a Rust toolchain is available.
+
+Secondary diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+CPU_BASELINE_ENC_PER_S = 1200.0  # documented analytic estimate, BASELINE.md
+
+N_RECEIVERS = 4096
+K_DIM = 256
+ELL = 8
+MODULI = (0xFFFFC4001, 0x1FFFFE0001)
+BATCH = 64
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+
+    from pvw_tpu import (
+        GlobalPublicKey, Party, PvwCrs, PvwParameters, PvwParametersBuilder,
+    )
+    from pvw_tpu.crypto.encryption import _encrypt_kernel, _scalars_to_pairs
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    b1, b2 = PvwParameters.suggest_error_bounds(
+        N_RECEIVERS, K_DIM, ELL, MODULI, 0.5
+    )
+    params = (
+        PvwParametersBuilder()
+        .set_parties(N_RECEIVERS).set_dimension(K_DIM).set_l(ELL)
+        .set_moduli(MODULI).set_secret_variance(0.5)
+        .set_error_bounds_u32(b1, b2).build()
+    )
+    key = jax.random.key(0)
+
+    t0 = time.time()
+    crs = PvwCrs.new(params, jax.random.fold_in(key, 0))
+    log(f"CRS ({K_DIM}x{K_DIM}) generated in {time.time() - t0:.2f}s")
+
+    t0 = time.time()
+    # Batched keygen for all 4096 parties in one MXU contraction
+    from pvw_tpu.keys.secret_key import SecretKey
+
+    sks = [
+        SecretKey.random(params, jax.random.fold_in(key, 10_000 + i))
+        for i in range(N_RECEIVERS)
+    ]
+    gpk = GlobalPublicKey(crs)
+    gpk.generate_all_keys(sks, jax.random.fold_in(key, 1))
+    log(f"keygen for {N_RECEIVERS} parties in {time.time() - t0:.2f}s")
+
+    rng = np.random.default_rng(0)
+    scalars = rng.integers(0, 1 << 32, size=(BATCH, N_RECEIVERS), dtype=np.uint64)
+    sc_hi, sc_lo = _scalars_to_pairs(scalars)
+    a_pair = gpk.crs.matrix.pair
+    b_pair = gpk.matrix.pair
+
+    def run(i):
+        out = _encrypt_kernel(
+            params, a_pair[0], a_pair[1], b_pair[0], b_pair[1],
+            sc_hi, sc_lo, jax.random.fold_in(key, 777 + i),
+        )
+        jax.block_until_ready(out)
+        return out
+
+    t0 = time.time()
+    run(0)
+    log(f"warmup (compile + run) in {time.time() - t0:.2f}s")
+
+    iters = 3
+    t0 = time.time()
+    for i in range(1, iters + 1):
+        run(i)
+    dt = time.time() - t0
+    enc_per_s = BATCH * iters / dt
+    log(f"{iters} x batch-{BATCH} encryptions in {dt:.3f}s -> "
+        f"{enc_per_s:.1f} enc/s")
+
+    print(json.dumps({
+        "metric": f"encryptions_per_sec_n{N_RECEIVERS}_k{K_DIM}_l{ELL}",
+        "value": round(enc_per_s, 2),
+        "unit": "encryptions/s",
+        "vs_baseline": round(enc_per_s / CPU_BASELINE_ENC_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

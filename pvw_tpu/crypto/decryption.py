@@ -1,0 +1,201 @@
+"""PVW decryption: device inner products + exact sequential-rounding decode.
+
+Rebuild of ``/root/reference/src/crypto/decryption.rs``. Two stages:
+
+1. Device: z = <s, c1> - c2[i] (``decryption.rs:257-274``) as a batched
+   digit-matmul over the k axis (the reference's rayon site P7), then one
+   inverse NTT. Batched over dealers/ciphertexts.
+
+2. Host: the PVW sequential-rounding decode (``decode_scalar_pvw_rns``,
+   ``decryption.rs:10-58``) on CRT-lifted integers. The reference dresses
+   this scalar recurrence in ~6l NTT/CRT round-trips of constant
+   polynomials (quirk SURVEY.md §2.4.4); here it is plain exact integer
+   arithmetic with the reference's conventions preserved EXACTLY:
+   - centering subtracts q only for values STRICTLY greater than q//2
+     (``decryption.rs:140-152``);
+   - every intermediate is re-reduced mod q (values lived as polys mod q);
+   - the rounding division is sign-split truncated division
+     ((2a±Δ)/(2Δ), ``decryption.rs:180-207``, tests/crypto.rs:308-330);
+   - modulo Δ^(l-1) uses Rust's truncated %, centered with the
+     half_mod = m/2 convention (``decryption.rs:154-178``);
+   - the final noise clamp maps small negatives (|v| <= 1000) to 0 and
+     wraps large negatives mod q (``decryption.rs:226-247``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..errors import InvalidParameters
+from ..keys.secret_key import SecretKey
+from ..ops import modmat, ntt as ntt_ops, u64 as u64op
+from ..params.parameters import PvwParameters
+from ..utils.intmath import center_mod, rust_div, rust_rem
+from .encryption import PvwCiphertext
+
+
+# --------------------------------------------------------------------------
+# device stage
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(0,))
+def _noisy_message_kernel(params: PvwParameters, sk_hi, sk_lo,
+                          c1_hi, c1_lo, c2_hi, c2_lo):
+    """z = <s, c1> - c2, inverse-NTT'd to PowerBasis.
+
+    sk_*: [k, L, l] (NTT); c1_*: [k, d, L, l]; c2_*: [d, L, l]
+    -> residues [d, L, l] in PowerBasis.
+    """
+    ring = params.ring
+    lhs = (sk_hi[None], sk_lo[None])                       # [1, k, L, l]
+    prod = modmat.poly_matmul(lhs, (c1_hi, c1_lo), ring)   # [1, d, L, l]
+    z = modmat.poly_sub((prod[0][0], prod[1][0]), (c2_hi, c2_lo), ring)
+    return ntt_ops.ntt_inverse(z, ring)
+
+
+# --------------------------------------------------------------------------
+# host decode
+# --------------------------------------------------------------------------
+
+def decode_scalar_pvw_rns(coeff_residues: np.ndarray,
+                          params: PvwParameters) -> int:
+    """Decode one noisy gadget-encoded message from its PowerBasis residues
+    (uint64 [L, l]) — exact integer transcription of
+    ``decode_scalar_pvw_rns`` (``decryption.rs:10-58``)."""
+    ring = params.ring
+    q = params.q_total()
+    delta = params.delta()
+    ell = params.l
+    lifted = ring.lift_to_ints(coeff_residues)       # canonical in [0, q)
+    zc = [center_mod(v, q) for v in lifted]          # extract_coefficient_as_poly
+
+    # tmp[i] = z[i]*Δ - z[i+1] in RNS (mod q)         decryption.rs:19-27
+    tmp = [(zc[i] * delta - zc[i + 1]) % q for i in range(ell - 1)]
+
+    # Horner in RNS                                    decryption.rs:30-33
+    last = tmp[0]
+    for i in range(1, ell - 1):
+        last = (last * delta + tmp[i]) % q
+
+    # reduce mod Δ^(l-1), centered                     decryption.rs:36-37,154-178
+    a = center_mod(last, q)
+    m = center_mod(params.delta_power_l_minus_1() % q, q)
+    reduced = rust_rem(a, m)
+    half_mod = rust_div(m, 2)
+    if reduced > half_mod:
+        reduced -= m
+    elif reduced < -half_mod:
+        reduced += m
+    tmp.append(reduced % q)
+
+    # backward substitution                            decryption.rs:41-47,180-207
+    noise = [0] * ell
+    noise[ell - 1] = tmp[ell - 1]
+    d_const = center_mod(delta % q, q)
+    for i in range(ell - 2, -1, -1):
+        numerator = (noise[i + 1] - tmp[i]) % q
+        a = center_mod(numerator, q)
+        if d_const == 0:
+            quot = 0
+        else:
+            twice = a * 2
+            if a < 0:
+                quot = rust_div(twice - d_const, d_const * 2)
+            else:
+                quot = rust_div(twice + d_const, d_const * 2)
+        noise[i] = quot % q
+
+    # plaintext = -z0 - e0                             decryption.rs:51-57
+    val = (-zc[0] - noise[0]) % q
+    mf = center_mod(val, q)
+    # extract_constant_term_as_u64                     decryption.rs:226-247
+    if mf < 0:
+        if -mf <= 1000:
+            return 0
+        pos = (mf + q) % q
+        return pos if pos < 1 << 64 else 0
+    return mf if mf < 1 << 64 else 0
+
+
+def _decode_batch(residues: np.ndarray, params: PvwParameters) -> list[int]:
+    """Decode d messages: residues uint64 [d, L, l]."""
+    return [decode_scalar_pvw_rns(residues[i], params) for i in range(residues.shape[0])]
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+
+def decrypt_party_value(ciphertext: PvwCiphertext, secret_key: SecretKey,
+                        party_index: int) -> int:
+    """Decrypt component ``party_index`` (``decryption.rs:249-278``)."""
+    params = ciphertext.params
+    if not (0 <= party_index < params.n):
+        raise InvalidParameters(
+            f"Party index {party_index} exceeds maximum {params.n - 1}"
+        )
+    sk = secret_key.to_polynomials()
+    c1 = ciphertext.c1
+    c2 = ciphertext.c2[party_index]
+    zh, zl = _noisy_message_kernel(
+        params, sk.hi, sk.lo,
+        c1.hi[:, None], c1.lo[:, None],
+        c2.hi[None], c2.lo[None],
+    )
+    residues = u64op.join_u64_np(np.asarray(zh), np.asarray(zl))
+    return decode_scalar_pvw_rns(residues[0], params)
+
+
+def decrypt_party_shares(all_ciphertexts, secret_key: SecretKey,
+                         party_index: int) -> list[int]:
+    """Decrypt this party's share from each dealer ciphertext
+    (``decryption.rs:281-325``). Accepts a list of n PvwCiphertexts (API
+    parity) or one batched PvwCiphertext (c1 [k, d], c2 [n, d]) from
+    :func:`encrypt_all_party_shares_batched` — the device stage runs ONE
+    batched contraction either way (rayon site P8 -> d axis)."""
+    if isinstance(all_ciphertexts, PvwCiphertext):
+        ct = all_ciphertexts
+        params = ct.params
+        if len(ct.c1.batch_shape) != 2:
+            raise InvalidParameters("expected a batched ciphertext")
+        d = ct.c1.batch_shape[1]
+        if d != params.n:
+            raise InvalidParameters(f"Expected {params.n} ciphertexts, got {d}")
+        if not (0 <= party_index < params.n):
+            raise InvalidParameters(
+                f"Party index {party_index} exceeds maximum {params.n - 1}"
+            )
+        c1_hi, c1_lo = ct.c1.hi, ct.c1.lo            # [k, d, L, l]
+        c2_hi, c2_lo = ct.c2.hi[party_index], ct.c2.lo[party_index]  # [d, L, l]
+    else:
+        if len(all_ciphertexts) == 0:
+            raise InvalidParameters("No ciphertexts provided")
+        params = all_ciphertexts[0].params
+        if len(all_ciphertexts) != params.n:
+            raise InvalidParameters(
+                f"Expected {params.n} ciphertexts, got {len(all_ciphertexts)}"
+            )
+        if not (0 <= party_index < params.n):
+            raise InvalidParameters(
+                f"Party index {party_index} exceeds maximum {params.n - 1}"
+            )
+        for i, ct in enumerate(all_ciphertexts):
+            try:
+                ct.validate()
+            except InvalidParameters as e:
+                raise InvalidParameters(f"Ciphertext {i} invalid: {e}") from e
+        c1_hi = jnp.stack([ct.c1.hi for ct in all_ciphertexts], axis=1)
+        c1_lo = jnp.stack([ct.c1.lo for ct in all_ciphertexts], axis=1)
+        c2_hi = jnp.stack([ct.c2.hi[party_index] for ct in all_ciphertexts])
+        c2_lo = jnp.stack([ct.c2.lo[party_index] for ct in all_ciphertexts])
+
+    sk = secret_key.to_polynomials()
+    zh, zl = _noisy_message_kernel(
+        params, sk.hi, sk.lo, c1_hi, c1_lo, c2_hi, c2_lo
+    )
+    residues = u64op.join_u64_np(np.asarray(zh), np.asarray(zl))
+    return _decode_batch(residues, params)

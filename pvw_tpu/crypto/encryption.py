@@ -1,0 +1,278 @@
+"""PVW encryption: vector, share-distribution, and broadcast modes.
+
+Rebuild of ``/root/reference/src/crypto/encryption.rs``. The math is the
+reference's (c1 = A·r + e1, c2 = B·r + e2 + encode(m⃗)); the execution
+shape is TPU-native:
+
+- every mode runs through ONE jitted kernel batched over d independent
+  encryptions: r is a [k, d] block, so ``A·r`` and ``B·r`` are
+  [k,k]x[k,d] and [n,k]x[k,d] int8-digit MXU matmuls instead of the
+  reference's rayon loops (P3-P6, SURVEY.md §2.2);
+- the gadget encode is a constant Shoup multiply against the precomputed
+  NTT-domain gadget table (``parameters.rs:344-367`` does a BigInt->RNS
+  conversion + NTT per scalar per call);
+- randomness is counter-based (threefry keys), so a fixed key gives
+  bit-identical ciphertexts on any device count or mesh shape — the
+  reference's ``thread_rng`` paths are irreproducible by construction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..errors import InvalidParameters
+from ..keys.public_key import GlobalPublicKey
+from ..ops import modmat, ntt as ntt_ops, u64 as u64op
+from ..params.parameters import PvwParameters
+from ..poly import Poly, Representation
+from ..sampling.cbd import sample_vec_cbd
+from ..sampling.uniform import sample_uniform_residues
+
+
+class PvwCiphertext:
+    """c1 in R_q^k, c2 in R_q^n (``encryption.rs:15-24``).
+
+    c1/c2 are Poly batches of shape (k,)/(n,) — or (k, d)/(n, d) for the
+    batched variants, where slice d indexes an independent ciphertext.
+    """
+
+    def __init__(self, c1: Poly, c2: Poly, params: PvwParameters) -> None:
+        self.c1 = c1
+        self.c2 = c2
+        self.params = params
+
+    def __len__(self) -> int:
+        """Number of encrypted values == n (``encryption.rs:27-30``)."""
+        return self.c2.batch_shape[0]
+
+    def is_empty(self) -> bool:
+        return self.c1.batch_shape[0] == 0 and self.c2.batch_shape[0] == 0
+
+    def validate(self) -> None:
+        """``encryption.rs:41-76``."""
+        if self.c1.batch_shape[0] != self.params.k:
+            raise InvalidParameters(
+                f"c1 has {self.c1.batch_shape[0]} components but should have "
+                f"k={self.params.k}"
+            )
+        if self.c2.batch_shape[0] != self.params.n:
+            raise InvalidParameters(
+                f"c2 has {self.c2.batch_shape[0]} components but should have "
+                f"n={self.params.n}"
+            )
+        if self.c1.ring != self.params.ring or self.c2.ring != self.params.ring:
+            raise InvalidParameters("ciphertext context mismatch")
+
+    def get_party_ciphertext(self, party_index: int) -> Optional[Poly]:
+        """``encryption.rs:82-84``."""
+        if 0 <= party_index < self.c2.batch_shape[0]:
+            return self.c2[party_index]
+        return None
+
+    def c1_components(self) -> Poly:
+        return self.c1
+
+    def c2_components(self) -> Poly:
+        return self.c2
+
+    def __repr__(self) -> str:
+        return (
+            f"PvwCiphertext(k={self.c1.batch_shape}, n={self.c2.batch_shape})"
+        )
+
+    def to_bytes(self) -> bytes:
+        from ..utils.serialization import ciphertext_to_bytes
+        return ciphertext_to_bytes(self)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "PvwCiphertext":
+        from ..utils.serialization import ciphertext_from_bytes
+        return ciphertext_from_bytes(data)
+
+
+# --------------------------------------------------------------------------
+# the jitted batched kernel
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(0,))
+def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
+                    sc_hi, sc_lo, key):
+    """d-batched PVW encryption.
+
+    a_*: CRS [k, k, L, l]; b_*: global pk [n, k, L, l];
+    sc_*: scalars as uint32 pairs [d, n]; key: threefry key.
+    Returns c1 [k, d, L, l], c2 [n, d, L, l] pairs.
+    """
+    ring = params.ring
+    k, n, l = params.k, params.n, params.l
+    d = sc_hi.shape[0]
+    k_r, k_e1, k_e2 = jax.random.split(key, 3)
+
+    # r: CBD coefficients [d, k, l] -> NTT [k, d, L, l]   (encryption.rs:132-154)
+    r_coeffs = sample_vec_cbd(k_r, (d, k, l), params.secret_variance)
+    r_pb = modmat.from_signed_coeffs(r_coeffs, ring)            # [d, k, L, l]
+    r_ntt = ntt_ops.ntt_forward(r_pb, ring)
+    r_hi = jnp.transpose(r_ntt[0], (1, 0, 2, 3))                # [k, d, L, l]
+    r_lo = jnp.transpose(r_ntt[1], (1, 0, 2, 3))
+
+    # c1 = A·r + e1                                      (encryption.rs:156-173)
+    c1 = modmat.poly_matmul((a_hi, a_lo), (r_hi, r_lo), ring)   # [k, d, L, l]
+    e1_hi, e1_lo = sample_uniform_residues(
+        k_e1, (k, d, l), params.error_bound_1, ring
+    )
+    e1 = ntt_ops.ntt_forward((e1_hi, e1_lo), ring)
+    c1 = modmat.poly_add(c1, e1, ring)
+
+    # c2 = B·r + encode(scalars) + e2                    (encryption.rs:175-200)
+    c2 = modmat.poly_matmul((b_hi, b_lo), (r_hi, r_lo), ring)   # [n, d, L, l]
+    # encode: m·g in NTT domain via constant Shoup multiply; u64->i64 wrap
+    # (encryption.rs:195) corrected by subtracting (2^64 mod q)·g.
+    enc = modmat.shoup_scale_table(
+        (sc_hi, sc_lo), params.gadget_ntt, params.gadget_ntt_shoup, ring
+    )                                                            # [d, n, L, l]
+    wrap_hi, wrap_lo = u64op.split_u64_np(params.gadget_wrap)    # [L, l]
+    wrap = modmat.poly_sub(
+        enc, (jnp.asarray(wrap_hi), jnp.asarray(wrap_lo)), ring
+    )
+    neg = (sc_hi >= jnp.uint32(1 << 31))[..., None, None]
+    enc_hi = jnp.where(neg, wrap[0], enc[0])
+    enc_lo = jnp.where(neg, wrap[1], enc[1])
+    enc = (jnp.transpose(enc_hi, (1, 0, 2, 3)),                  # [n, d, L, l]
+           jnp.transpose(enc_lo, (1, 0, 2, 3)))
+    e2_hi, e2_lo = sample_uniform_residues(
+        k_e2, (n, d, l), params.error_bound_2, ring
+    )
+    e2 = ntt_ops.ntt_forward((e2_hi, e2_lo), ring)
+    c2 = modmat.poly_add(modmat.poly_add(c2, enc, ring), e2, ring)
+    return c1[0], c1[1], c2[0], c2[1]
+
+
+def _scalars_to_pairs(scalars) -> tuple[jax.Array, jax.Array]:
+    arr = np.asarray(scalars, np.uint64)
+    hi, lo = u64op.split_u64_np(arr)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def encrypt_batch(all_scalars, global_pk: GlobalPublicKey,
+                  key: jax.Array) -> PvwCiphertext:
+    """Encrypt d independent scalar vectors in one kernel call.
+
+    ``all_scalars``: [d, n] u64. Returns a batched PvwCiphertext with
+    c1 [k, d], c2 [n, d]. This is the TPU-native throughput path; the d
+    axis is what keeps the MXU busy (matvec -> matmul)."""
+    params = global_pk.params
+    arr = np.asarray(all_scalars, np.uint64)
+    if arr.ndim != 2 or arr.shape[1] != params.n:
+        raise InvalidParameters(
+            f"Must provide exactly n={params.n} scalars, got "
+            f"{arr.shape[-1] if arr.ndim else 0}"
+        )
+    if not global_pk.is_full():
+        raise InvalidParameters(
+            "Global public key is not complete (missing party keys)"
+        )
+    if not params.verify_correctness_condition():
+        raise InvalidParameters(
+            "Parameters do not satisfy correctness condition - decryption "
+            "may fail"
+        )
+    if max(params.error_bound_1, params.error_bound_2) >= min(params.ring.moduli):
+        raise InvalidParameters(
+            "error bounds must be smaller than the smallest RNS modulus for "
+            "the device sampling path"
+        )
+    sc_hi, sc_lo = _scalars_to_pairs(arr)
+    c1h, c1l, c2h, c2l = _encrypt_kernel(
+        params, *global_pk.crs.matrix.pair, *global_pk.matrix.pair,
+        sc_hi, sc_lo, key,
+    )
+    c1 = Poly(c1h, c1l, Representation.Ntt, params.ring)
+    c2 = Poly(c2h, c2l, Representation.Ntt, params.ring)
+    return PvwCiphertext(c1, c2, params)
+
+
+def _squeeze_batch(ct: PvwCiphertext) -> PvwCiphertext:
+    return PvwCiphertext(
+        Poly(ct.c1.hi[:, 0], ct.c1.lo[:, 0], ct.c1.rep, ct.c1.ring),
+        Poly(ct.c2.hi[:, 0], ct.c2.lo[:, 0], ct.c2.rep, ct.c2.ring),
+        ct.params,
+    )
+
+
+def encrypt(scalars, global_pk: GlobalPublicKey, key: jax.Array) -> PvwCiphertext:
+    """Encrypt one length-n vector: party i can decrypt scalars[i]
+    (``encryption.rs:105-214``)."""
+    arr = np.asarray(scalars, np.uint64)
+    if arr.ndim != 1:
+        raise InvalidParameters("scalars must be a 1-D vector")
+    ct = encrypt_batch(arr[None, :], global_pk, key)
+    ct = _squeeze_batch(ct)
+    ct.validate()
+    return ct
+
+
+def encrypt_party_shares(party_shares, party_index: int,
+                         global_pk: GlobalPublicKey, key: jax.Array) -> PvwCiphertext:
+    """PVSS dealer mode (``encryption.rs:221-245``)."""
+    params = global_pk.params
+    if party_index >= params.n:
+        raise InvalidParameters(
+            f"Party index {party_index} exceeds maximum {params.n - 1}"
+        )
+    shares = np.asarray(party_shares, np.uint64)
+    if shares.shape != (params.n,):
+        raise InvalidParameters(
+            f"Party must provide {params.n} shares, got {shares.shape[0] if shares.ndim else 0}"
+        )
+    return encrypt(shares, global_pk, key)
+
+
+def encrypt_all_party_shares(all_shares, global_pk: GlobalPublicKey,
+                             key: jax.Array) -> list[PvwCiphertext]:
+    """All n dealers' encryptions at once (``encryption.rs:253-286``).
+
+    The reference parallelizes with rayon over dealers (P6); here all n
+    encryptions share one batched kernel call (the d axis), then are split
+    into per-dealer ciphertexts for API parity. Use
+    :func:`encrypt_all_party_shares_batched` to keep the batch form."""
+    ct = encrypt_all_party_shares_batched(all_shares, global_pk, key)
+    n = global_pk.params.n
+    out = []
+    for d in range(n):
+        out.append(PvwCiphertext(
+            Poly(ct.c1.hi[:, d], ct.c1.lo[:, d], ct.c1.rep, ct.c1.ring),
+            Poly(ct.c2.hi[:, d], ct.c2.lo[:, d], ct.c2.rep, ct.c2.ring),
+            ct.params,
+        ))
+    return out
+
+
+def encrypt_all_party_shares_batched(all_shares, global_pk: GlobalPublicKey,
+                                     key: jax.Array) -> PvwCiphertext:
+    """Batched form of :func:`encrypt_all_party_shares`: returns ONE
+    PvwCiphertext with c1 [k, n_dealers], c2 [n, n_dealers]."""
+    params = global_pk.params
+    shares = np.asarray(all_shares, np.uint64)
+    if shares.shape[0] != params.n:
+        raise InvalidParameters(
+            f"Must provide shares for all {params.n} parties"
+        )
+    for dealer_idx in range(shares.shape[0]):
+        if shares[dealer_idx].shape != (params.n,):
+            raise InvalidParameters(
+                f"Dealer {dealer_idx} provided {shares[dealer_idx].shape[0]} "
+                f"shares but needs {params.n}"
+            )
+    return encrypt_batch(shares, global_pk, key)
+
+
+def encrypt_broadcast(scalar: int, global_pk: GlobalPublicKey,
+                      key: jax.Array) -> PvwCiphertext:
+    """Same value for every party (``encryption.rs:292-296``)."""
+    vals = np.full((global_pk.params.n,), np.uint64(scalar), np.uint64)
+    return encrypt(vals, global_pk, key)

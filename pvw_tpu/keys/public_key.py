@@ -1,0 +1,289 @@
+"""Party, per-party public keys, and the global public-key matrix B.
+
+Rebuild of ``/root/reference/src/keys/public_key.rs``. The n x k matrix B
+is ONE device tensor (Poly batch (n, k)); batch key generation
+(``generate_all_party_keys`` / ``generate_all_keys``, the reference's rayon
+sites P1/P2, ``public_key.rs:376-434``) is a single [n, k] x [k, k]
+digit-matmul plus one batched error sample — the TPU replaces the thread
+pool with the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..errors import DimensionMismatch, InvalidParameters
+from ..ops import modmat
+from ..params.crs import PvwCrs
+from ..params.parameters import PvwParameters
+from ..poly import Poly, Representation
+from .secret_key import SecretKey
+
+
+class Party:
+    """A protocol participant: index + secret key (``public_key.rs:17-22``)."""
+
+    def __init__(self, index: int, secret_key: SecretKey) -> None:
+        self.index = index
+        self.secret_key = secret_key
+
+    @classmethod
+    def new(cls, index: int, params: PvwParameters, key: jax.Array) -> "Party":
+        """``public_key.rs:62-79``."""
+        if index >= params.n:
+            raise InvalidParameters(
+                f"Party index {index} exceeds maximum {params.n - 1}"
+            )
+        return cls(index, SecretKey.random(params, key))
+
+    def generate_public_key(self, crs: PvwCrs, key: jax.Array) -> "PublicKey":
+        """b_i = s_i^T A + e_i (``public_key.rs:85-92``)."""
+        pk, _errors = PublicKey.generate(self.secret_key, crs, key)
+        return pk
+
+    # accessors (``public_key.rs:95-103``)
+    def get_index(self) -> int:
+        return self.index
+
+    def get_secret_key(self) -> SecretKey:
+        return self.secret_key
+
+
+class PublicKey:
+    """One party's k public-key polynomials (``public_key.rs:29-35``)."""
+
+    def __init__(self, key_polynomials: Poly, params: PvwParameters) -> None:
+        self.key_polynomials = key_polynomials  # Poly batch (k,), NTT
+        self.params = params
+
+    @classmethod
+    def generate(
+        cls, secret_key: SecretKey, crs: PvwCrs, key: jax.Array
+    ) -> tuple["PublicKey", Poly]:
+        """b = s^T A + e with e ~ U[-B1, B1]^l per component
+        (``public_key.rs:111-147``). Returns (public_key, error_polys)."""
+        if secret_key.params.k != crs.params.k:
+            raise DimensionMismatch(crs.params.k, secret_key.params.k)
+        params = secret_key.params
+        sk_a = crs.multiply_by_secret_key(secret_key)           # Poly (k,)
+        errors = params.sample_error_1(key, batch=(params.k,))  # Poly (k,)
+        b = sk_a + errors
+        return cls(b, params), errors
+
+    def dimension(self) -> int:
+        return self.key_polynomials.batch_shape[0]
+
+    def get_polynomial(self, i: int) -> Optional[Poly]:
+        if 0 <= i < self.dimension():
+            return self.key_polynomials[i]
+        return None
+
+    def polynomials(self) -> Poly:
+        return self.key_polynomials
+
+    def validate(self) -> None:
+        """``public_key.rs:168-187``."""
+        if self.dimension() != self.params.k:
+            raise InvalidParameters(
+                f"Public key dimension {self.dimension()} doesn't match "
+                f"parameter k={self.params.k}"
+            )
+        if self.key_polynomials.ring != self.params.ring:
+            raise InvalidParameters("Public key polynomial context mismatch")
+
+    def to_bytes(self) -> bytes:
+        from ..utils.serialization import public_key_to_bytes
+        return public_key_to_bytes(self)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "PublicKey":
+        from ..utils.serialization import public_key_from_bytes
+        return public_key_from_bytes(data)
+
+
+class GlobalPublicKey:
+    """The n x k matrix B stacking every party's key row
+    (``public_key.rs:42-54``)."""
+
+    def __init__(self, crs: PvwCrs) -> None:
+        """``GlobalPublicKey::new`` (``public_key.rs:196-208``)."""
+        params = crs.params
+        self.matrix = Poly.zero(
+            params.ring, Representation.Ntt, batch=(params.n, params.k)
+        )
+        self.crs = crs
+        self.params = params
+        self.num_keys = 0
+        # error_polynomials[party] -> Poly (k,) | None (``public_key.rs:52-53``)
+        self.error_polynomials: list[Optional[Poly]] = []
+
+    # -- insertion -------------------------------------------------------
+
+    def add_public_key(self, index: int, public_key: PublicKey) -> None:
+        """``public_key.rs:214-250``. Note ``num_keys`` tracks
+        max(index)+1, NOT a count — quirk preserved (SURVEY.md §2.4.10)."""
+        if index >= self.params.n:
+            raise InvalidParameters(
+                f"Party index {index} exceeds maximum {self.params.n - 1}"
+            )
+        public_key.validate()
+        if public_key.params.k != self.params.k:
+            raise InvalidParameters(
+                f"Public key dimension {public_key.params.k} doesn't match "
+                f"global key dimension {self.params.k}"
+            )
+        row = public_key.key_polynomials
+        self.matrix = Poly(
+            self.matrix.hi.at[index].set(row.hi),
+            self.matrix.lo.at[index].set(row.lo),
+            Representation.Ntt,
+            self.params.ring,
+        )
+        if index >= self.num_keys:
+            self.num_keys = index + 1
+
+    def generate_and_add_party(self, party: Party, key: jax.Array) -> None:
+        """``public_key.rs:256-263``."""
+        pk = party.generate_public_key(self.crs, key)
+        self.add_public_key(party.index, pk)
+
+    def generate_and_add(self, index: int, secret_key: SecretKey,
+                         key: jax.Array) -> None:
+        """``public_key.rs:269-277``."""
+        pk, _errors = PublicKey.generate(secret_key, self.crs, key)
+        self.add_public_key(index, pk)
+
+    def generate_and_add_with_errors(self, index: int, secret_key: SecretKey,
+                                     key: jax.Array) -> None:
+        """``public_key.rs:304-320`` — records the error polynomials for
+        external PVSS proofs."""
+        pk, errors = PublicKey.generate(secret_key, self.crs, key)
+        self.add_public_key(index, pk)
+        while len(self.error_polynomials) <= index:
+            self.error_polynomials.append(None)
+        self.error_polynomials[index] = errors
+
+    def generate_and_add_party_with_errors(self, party: Party,
+                                           key: jax.Array) -> None:
+        """``public_key.rs:322-328``."""
+        self.generate_and_add_with_errors(party.index, party.secret_key, key)
+
+    # -- batch keygen (rayon sites P1/P2 -> one MXU contraction) ---------
+
+    def generate_all_party_keys(self, parties: list[Party],
+                                key: jax.Array) -> None:
+        """All parties' b_i = s_i^T A + e_i in ONE batched matmul
+        (``public_key.rs:376-401``)."""
+        if len(parties) > self.params.n:
+            raise InvalidParameters(
+                f"Too many parties: {len(parties)} > {self.params.n}"
+            )
+        self._batch_generate(
+            [p.secret_key for p in parties], [p.index for p in parties], key,
+            record_errors=False,
+        )
+
+    def generate_all_keys(self, secret_keys: list[SecretKey],
+                          key: jax.Array) -> None:
+        """``public_key.rs:407-434`` — indices assigned in order."""
+        if len(secret_keys) > self.params.n:
+            raise InvalidParameters(
+                f"Too many secret keys: {len(secret_keys)} > {self.params.n}"
+            )
+        self._batch_generate(secret_keys, list(range(len(secret_keys))), key,
+                             record_errors=False)
+
+    def _batch_generate(self, secret_keys: list[SecretKey], indices: list[int],
+                        key: jax.Array, record_errors: bool) -> None:
+        params = self.params
+        # Stack all secret keys: [p, k, l] coeffs -> NTT polys [p, k, L, l]
+        coeffs = np.stack([sk.secret_coeffs for sk in secret_keys])
+        sk_polys = Poly.from_coefficients(coeffs, params.ring).to_ntt()
+        # result[p, i] = sum_j sk[p, j] * A[j, i]  — [p, k] x [k, k]
+        hi, lo = modmat.poly_matmul(sk_polys.pair, self.crs.matrix.pair,
+                                    params.ring)
+        errors = params.sample_error_1(key, batch=(len(secret_keys), params.k))
+        b = Poly(hi, lo, Representation.Ntt, params.ring) + errors
+        idx = jnp.asarray(indices, jnp.int32)
+        self.matrix = Poly(
+            self.matrix.hi.at[idx].set(b.hi),
+            self.matrix.lo.at[idx].set(b.lo),
+            Representation.Ntt,
+            params.ring,
+        )
+        for i in indices:
+            if i >= self.num_keys:
+                self.num_keys = i + 1
+        if record_errors:
+            while len(self.error_polynomials) < max(indices) + 1:
+                self.error_polynomials.append(None)
+            for row, i in enumerate(indices):
+                self.error_polynomials[i] = errors[row]
+
+    # -- accessors -------------------------------------------------------
+
+    def get_public_key(self, index: int) -> Optional[PublicKey]:
+        """``public_key.rs:283-301``."""
+        if index >= self.num_keys:
+            return None
+        return PublicKey(self.matrix[index], self.params)
+
+    def get_polynomial(self, i: int, j: int) -> Optional[Poly]:
+        if 0 <= i < self.params.n and 0 <= j < self.params.k:
+            return self.matrix[i, j]
+        return None
+
+    def dimensions(self) -> tuple[int, int]:
+        return (self.params.n, self.params.k)
+
+    def num_public_keys(self) -> int:
+        return self.num_keys
+
+    def is_full(self) -> bool:
+        """``public_key.rs:349-351``."""
+        return self.num_keys >= self.params.n
+
+    def get_crs(self) -> PvwCrs:
+        return self.crs
+
+    def validate(self) -> None:
+        """``public_key.rs:361-370``."""
+        shape = self.matrix.batch_shape
+        if shape != (self.params.n, self.params.k):
+            raise InvalidParameters(
+                f"Global public key matrix dimensions {shape[0]}×{shape[1]} "
+                f"don't match parameters n={self.params.n}, k={self.params.k}"
+            )
+
+    def get_party_polynomials(self, party_index: int) -> Poly:
+        """``public_key.rs:440-459``."""
+        if party_index >= self.num_keys:
+            raise InvalidParameters(f"Party index {party_index} not found")
+        return self.matrix[party_index]
+
+    def get_party_errors(self, party_index: int) -> Optional[Poly]:
+        if 0 <= party_index < len(self.error_polynomials):
+            return self.error_polynomials[party_index]
+        return None
+
+    def get_all_errors(self) -> list[Optional[Poly]]:
+        return self.error_polynomials
+
+    def __repr__(self) -> str:
+        return (
+            f"GlobalPublicKey(n={self.params.n}, k={self.params.k}, "
+            f"num_keys={self.num_keys})"
+        )
+
+    def to_bytes(self) -> bytes:
+        from ..utils.serialization import global_public_key_to_bytes
+        return global_public_key_to_bytes(self)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "GlobalPublicKey":
+        from ..utils.serialization import global_public_key_from_bytes
+        return global_public_key_from_bytes(data)

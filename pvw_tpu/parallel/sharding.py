@@ -1,0 +1,240 @@
+"""Multi-chip sharded PVW encryption/decryption over a device mesh.
+
+The reference's only parallelism is a shared-memory rayon pool (SURVEY.md
+§2.2); "distributed" there means serializing keys over the wire. This
+module is the TPU-native replacement: a 2-D ``jax.sharding.Mesh`` with axes
+
+- ``recv`` — partitions the n receivers: B's rows, c2's rows, and the
+  per-receiver gadget encode + e2 noise live on the owning shard only;
+- ``kdim`` — partitions the k-dimension CONTRACTION of ``A·r`` and ``B·r``:
+  each shard holds a k/kdim column block and computes a partial sum; the
+  partial residues are combined with an ``all_gather`` over ``kdim``
+  followed by a local modular reduction (a plain ``psum`` would wrap the
+  u32 lanes — modular arithmetic needs the gather-then-addmod form).
+
+Because all randomness is counter-based (threefry), every shard derives
+bit-identical r/e1/e2 streams and slices its own rows: the sharded result
+is BIT-IDENTICAL to the single-device kernel for any mesh shape — tested
+in tests/test_sharding.py. The reference cannot even express this property
+(per-thread ``thread_rng``).
+
+Scaling axes map (BASELINE.json north star): receivers+limbs across chips;
+at l <= 32 the NTT stays chip-local (SURVEY.md §5 long-context row) and the
+collective budget goes to the k-contraction, exactly as planned there.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..errors import InvalidParameters
+from ..keys.public_key import GlobalPublicKey
+from ..ops import modmat, ntt as ntt_ops, u64 as u64op
+from ..params.parameters import PvwParameters
+from ..poly import Poly, Representation
+from ..sampling.cbd import sample_vec_cbd
+from ..sampling.uniform import sample_uniform_residues
+from ..crypto.encryption import PvwCiphertext, _scalars_to_pairs
+
+
+def make_mesh(devices=None, kdim: int | None = None) -> Mesh:
+    """Build a (recv, kdim) mesh over the given (default: all) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if kdim is None:
+        kdim = 2 if n % 2 == 0 and n >= 2 else 1
+    if n % kdim:
+        raise InvalidParameters(f"{n} devices not divisible by kdim={kdim}")
+    arr = np.array(devices).reshape(n // kdim, kdim)
+    return Mesh(arr, axis_names=("recv", "kdim"))
+
+
+def _modsum_gathered(parts_hi, parts_lo, ring, axis_name: str):
+    """Combine per-shard partial residues: all_gather over ``axis_name``
+    then an addmod tree (length = axis size, static)."""
+    g_hi = jax.lax.all_gather(parts_hi, axis_name)   # [S, ...]
+    g_lo = jax.lax.all_gather(parts_lo, axis_name)
+    acc_h, acc_l = g_hi[0], g_lo[0]
+    for i in range(1, g_hi.shape[0]):
+        acc_h, acc_l = modmat.poly_add((acc_h, acc_l), (g_hi[i], g_lo[i]), ring)
+    return acc_h, acc_l
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
+                            a_hi, a_lo, b_hi, b_lo, sc_hi, sc_lo, key):
+    """Sharded twin of ``crypto.encryption._encrypt_kernel``.
+
+    Sharding: A [k, k, L, l] column-blocked over kdim; B [n, k, L, l]
+    row-blocked over recv and column-blocked over kdim; scalars [d, n]
+    sharded over recv on the n axis. Outputs: c1 [k, d, L, l] replicated,
+    c2 [n, d, L, l] row-sharded over recv.
+    """
+    ring = params.ring
+    k, n, l = params.k, params.n, params.l
+    d = sc_hi.shape[0]
+    kd = mesh.shape["kdim"]
+    kc = k // kd
+
+    def shard_fn(a_hi, a_lo, b_hi, b_lo, sc_hi, sc_lo, key):
+        k_r, k_e1, k_e2 = jax.random.split(key, 3)
+        my_k = jax.lax.axis_index("kdim")
+
+        # identical full r on every shard (counter-based), slice own block
+        r_coeffs = sample_vec_cbd(k_r, (d, k, l), params.secret_variance)
+        r_pb = modmat.from_signed_coeffs(r_coeffs, ring)       # [d, k, L, l]
+        r_ntt = ntt_ops.ntt_forward(r_pb, ring)
+        r_hi = jnp.transpose(r_ntt[0], (1, 0, 2, 3))           # [k, d, L, l]
+        r_lo = jnp.transpose(r_ntt[1], (1, 0, 2, 3))
+        rb_hi = jax.lax.dynamic_slice_in_dim(r_hi, my_k * kc, kc, 0)
+        rb_lo = jax.lax.dynamic_slice_in_dim(r_lo, my_k * kc, kc, 0)
+
+        # c1 partial over the local k block, then gather+addmod over kdim
+        c1p = modmat.poly_matmul((a_hi, a_lo), (rb_hi, rb_lo), ring)
+        c1_hi, c1_lo = _modsum_gathered(c1p[0], c1p[1], ring, "kdim")
+        e1_hi, e1_lo = sample_uniform_residues(
+            k_e1, (k, d, l), params.error_bound_1, ring
+        )
+        e1 = ntt_ops.ntt_forward((e1_hi, e1_lo), ring)
+        c1 = modmat.poly_add((c1_hi, c1_lo), e1, ring)
+
+        # c2: local receiver rows x local k block
+        c2p = modmat.poly_matmul((b_hi, b_lo), (rb_hi, rb_lo), ring)
+        c2_hi, c2_lo = _modsum_gathered(c2p[0], c2p[1], ring, "kdim")
+
+        # encode local scalars (sc sharded over recv on axis 1)
+        enc = modmat.shoup_scale_table(
+            (sc_hi, sc_lo), params.gadget_ntt, params.gadget_ntt_shoup, ring
+        )                                                       # [d, nl, L, l]
+        wrap_hi, wrap_lo = u64op.split_u64_np(params.gadget_wrap)
+        wrap = modmat.poly_sub(enc, (jnp.asarray(wrap_hi), jnp.asarray(wrap_lo)), ring)
+        neg = (sc_hi >= jnp.uint32(1 << 31))[..., None, None]
+        enc_hi = jnp.where(neg, wrap[0], enc[0])
+        enc_lo = jnp.where(neg, wrap[1], enc[1])
+        enc = (jnp.transpose(enc_hi, (1, 0, 2, 3)),
+               jnp.transpose(enc_lo, (1, 0, 2, 3)))             # [nl, d, L, l]
+
+        # e2: full stream sliced to local rows -> bit-identical to 1-chip
+        my_r = jax.lax.axis_index("recv")
+        nl = b_hi.shape[0]
+        e2_hi, e2_lo = sample_uniform_residues(
+            k_e2, (n, d, l), params.error_bound_2, ring
+        )
+        e2f = ntt_ops.ntt_forward((e2_hi, e2_lo), ring)
+        e2 = (
+            jax.lax.dynamic_slice_in_dim(e2f[0], my_r * nl, nl, 0),
+            jax.lax.dynamic_slice_in_dim(e2f[1], my_r * nl, nl, 0),
+        )
+        c2 = modmat.poly_add(modmat.poly_add((c2_hi, c2_lo), enc, ring), e2, ring)
+        return c1[0], c1[1], c2[0], c2[1]
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(None, "kdim"), P(None, "kdim"),        # A column blocks
+            P("recv", "kdim"), P("recv", "kdim"),    # B row+column blocks
+            P(None, "recv"), P(None, "recv"),        # scalars over n axis
+            P(),                                     # key replicated
+        ),
+        out_specs=(P(), P(), P("recv"), P("recv")),
+        check_vma=False,
+    )(a_hi, a_lo, b_hi, b_lo, sc_hi, sc_lo, key)
+
+
+def encrypt_batch_sharded(all_scalars, global_pk: GlobalPublicKey,
+                          key: jax.Array, mesh: Mesh) -> PvwCiphertext:
+    """Mesh-sharded twin of :func:`pvw_tpu.crypto.encrypt_batch`; returns a
+    batched ciphertext (c1 [k, d], c2 [n, d]) bit-identical to the
+    single-device path."""
+    params = global_pk.params
+    arr = np.asarray(all_scalars, np.uint64)
+    if arr.ndim != 2 or arr.shape[1] != params.n:
+        raise InvalidParameters(
+            f"Must provide exactly n={params.n} scalars per row"
+        )
+    if not global_pk.is_full():
+        raise InvalidParameters(
+            "Global public key is not complete (missing party keys)"
+        )
+    if not params.verify_correctness_condition():
+        raise InvalidParameters(
+            "Parameters do not satisfy correctness condition - decryption may fail"
+        )
+    nr, kd = mesh.shape["recv"], mesh.shape["kdim"]
+    if params.n % nr or params.k % kd:
+        raise InvalidParameters(
+            f"n={params.n} must divide over recv={nr} and k={params.k} over "
+            f"kdim={kd}"
+        )
+    sc_hi, sc_lo = _scalars_to_pairs(arr)
+    c1h, c1l, c2h, c2l = _encrypt_kernel_sharded(
+        params, mesh, *global_pk.crs.matrix.pair, *global_pk.matrix.pair,
+        sc_hi, sc_lo, key,
+    )
+    return PvwCiphertext(
+        Poly(c1h, c1l, Representation.Ntt, params.ring),
+        Poly(c2h, c2l, Representation.Ntt, params.ring),
+        params,
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _noisy_sharded(params: PvwParameters, mesh: Mesh,
+                   sk_hi, sk_lo, c1_hi, c1_lo, c2_hi, c2_lo):
+    """Sharded decryption stage: z_d = <s, c1_d> - c2_d with the k
+    contraction split over kdim and dealers over recv."""
+    ring = params.ring
+    kd = mesh.shape["kdim"]
+    kc = params.k // kd
+
+    def shard_fn(sk_hi, sk_lo, c1_hi, c1_lo, c2_hi, c2_lo):
+        prod = modmat.poly_matmul((sk_hi[None], sk_lo[None]),
+                                  (c1_hi, c1_lo), ring)      # [1, dl, L, l]
+        s_hi, s_lo = _modsum_gathered(prod[0][0], prod[1][0], ring, "kdim")
+        z = modmat.poly_sub((s_hi, s_lo), (c2_hi, c2_lo), ring)
+        return ntt_ops.ntt_inverse(z, ring)
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P("kdim"), P("kdim"),                    # secret key k blocks
+            P("kdim", "recv"), P("kdim", "recv"),    # c1 [k, d, L, l]
+            P("recv"), P("recv"),                    # c2 rows [d, L, l]
+        ),
+        out_specs=(P("recv"), P("recv")),
+        check_vma=False,
+    )(sk_hi, sk_lo, c1_hi, c1_lo, c2_hi, c2_lo)
+
+
+def decrypt_party_shares_sharded(ct: PvwCiphertext, secret_key,
+                                 party_index: int, mesh: Mesh) -> list[int]:
+    """Mesh-sharded twin of ``decrypt_party_shares`` on a batched
+    ciphertext: dealers over ``recv``, the k contraction over ``kdim``;
+    host decode unchanged."""
+    from ..crypto.decryption import _decode_batch
+
+    params = ct.params
+    if len(ct.c1.batch_shape) != 2:
+        raise InvalidParameters("expected a batched ciphertext")
+    d = ct.c1.batch_shape[1]
+    nr, kd = mesh.shape["recv"], mesh.shape["kdim"]
+    if d % nr or params.k % kd:
+        raise InvalidParameters(
+            f"dealer batch {d} must divide over recv={nr} and k={params.k} "
+            f"over kdim={kd}"
+        )
+    sk = secret_key.to_polynomials()
+    zh, zl = _noisy_sharded(
+        params, mesh, sk.hi, sk.lo,
+        ct.c1.hi, ct.c1.lo,
+        ct.c2.hi[party_index], ct.c2.lo[party_index],
+    )
+    residues = u64op.join_u64_np(np.asarray(zh), np.asarray(zl))
+    return _decode_batch(residues, params)

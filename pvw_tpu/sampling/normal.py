@@ -9,6 +9,14 @@ for API parity and is exercised by the sampling test suite.
 Host-side (numpy RNG + Python ints): these samplers return arbitrary-
 precision integers and are called at human scale, so there is no TPU story
 to tell; a device path would add nothing.
+
+QUIRK (faithfully preserved, pinned by tests/test_sampling.py): the
+reference passes the ABSOLUTE sigma (bound/16.96) into the ratio-space
+rejection sampler, whose ``sigma > 0.3`` guard (``normal.rs:151,169``)
+then short-circuits to uniform — so for any bound greater than ~5 the
+"truncated Gaussian" is actually UNIFORM on [-bound, bound]. Since the
+crypto path never uses this module, the quirk is inert, but API parity
+means reproducing it rather than silently fixing the distribution.
 """
 
 from __future__ import annotations

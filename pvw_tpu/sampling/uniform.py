@@ -41,6 +41,42 @@ def sample_bounded_u64(key: jax.Array, shape: tuple[int, ...], range_size: int):
     return vh, vl
 
 
+def sample_uniform_residues_host(
+    key: jax.Array, shape: tuple[int, ...], bound: int, ring: RingPlan
+):
+    """Host fallback for bounds >= min(q_i): exact Python-int sampling of
+    uniform values in [-bound, bound] of ANY magnitude, reduced into RNS
+    (the reference's BigInt path supports unbounded bounds; ours must too).
+    Deterministic in ``key``. Returns uint32 pairs [..., L, l]."""
+    import random as _random
+
+    import numpy as _np
+
+    from ..ops import u64 as _u
+
+    bound = int(bound)
+    if bound <= 0:
+        raise SamplingError("bound must be positive")
+    data = _np.asarray(jax.random.key_data(key)).ravel().tobytes()
+    rng = _random.Random(data)
+    count = 1
+    for s in shape:
+        count *= s
+    vals = [rng.randint(-bound, bound) for _ in range(count)]
+    # shape[-1] is the poly axis (l); reduce each sampled value per limb
+    L = ring.num_limbs
+    res = _np.zeros((count, L), _np.uint64)
+    for i, v in enumerate(vals):
+        for j, q in enumerate(ring.moduli):
+            res[i, j] = v % q
+    res = res.reshape(shape[:-1] + (shape[-1], L))
+    res = _np.moveaxis(res, -1, -2)  # [..., L, l]
+    hi, lo = _u.split_u64_np(res)
+    import jax.numpy as _jnp
+
+    return _jnp.asarray(hi), _jnp.asarray(lo)
+
+
 def sample_uniform_residues(
     key: jax.Array, shape: tuple[int, ...], bound: int, ring: RingPlan
 ):

@@ -1,0 +1,231 @@
+"""Crypto suite — mirror of ``/root/reference/tests/crypto.rs`` plus the
+batched-mode equivalence checks the reference cannot express."""
+
+import numpy as np
+import jax
+import pytest
+
+from pvw_tpu import (
+    GlobalPublicKey, Party, PvwCrs, PvwParameters, PvwParametersBuilder,
+    encrypt, encrypt_batch, encrypt_broadcast, encrypt_party_shares,
+    encrypt_all_party_shares, encrypt_all_party_shares_batched,
+    decrypt_party_shares, decrypt_party_value,
+)
+from pvw_tpu.crypto import decrypt_valid_shares, select_valid_ciphertexts
+from pvw_tpu.errors import (
+    InsufficientValidCiphertexts, InvalidParameters,
+)
+from pvw_tpu.utils.intmath import rust_div
+
+MODULI = (0xFFFFEE001, 0xFFFFC4001, 0x1FFFFE0001)
+
+
+def make_params(n=3, k=4, l=8, var=0.5):
+    b1, b2 = PvwParameters.suggest_error_bounds(n, k, l, MODULI, var)
+    return (PvwParametersBuilder().set_parties(n).set_dimension(k).set_l(l)
+            .set_moduli(MODULI).set_secret_variance(var)
+            .set_error_bounds_u32(b1, b2).build())
+
+
+def setup_system(n=3, k=4, l=8, var=0.5, seed=0):
+    """tests/crypto.rs:72-89 ``setup_test_system``."""
+    p = make_params(n, k, l, var)
+    key = jax.random.key(seed)
+    crs = PvwCrs.new(p, jax.random.fold_in(key, 0))
+    parties = [Party.new(i, p, jax.random.fold_in(key, 100 + i))
+               for i in range(p.n)]
+    gpk = GlobalPublicKey(crs)
+    gpk.generate_all_party_keys(parties, jax.random.fold_in(key, 1))
+    return p, gpk, parties
+
+
+class TestEncrypt:
+    def test_basic_encryption(self):
+        """tests/crypto.rs:94-106."""
+        p, gpk, _ = setup_system()
+        ct = encrypt([10, 20, 30], gpk, jax.random.key(42))
+        ct.validate()
+        assert len(ct) == p.n
+        assert ct.c1.batch_shape == (p.k,)
+        assert ct.c2.batch_shape == (p.n,)
+
+    def test_party_shares_encryption(self):
+        """tests/crypto.rs:108-125."""
+        _, gpk, _ = setup_system()
+        shares = [10000, 20000, 30000]
+        for idx in (0, 1):
+            ct = encrypt_party_shares(shares, idx, gpk, jax.random.key(idx))
+            ct.validate()
+            assert len(ct) == len(shares)
+
+    def test_invalid_inputs(self):
+        """tests/crypto.rs:182-207."""
+        p, gpk, _ = setup_system()
+        with pytest.raises(InvalidParameters, match="exactly n=3 scalars"):
+            encrypt([1, 2], gpk, jax.random.key(0))
+        with pytest.raises(InvalidParameters, match="exceeds maximum"):
+            encrypt_party_shares([1, 2, 3], p.n, gpk, jax.random.key(0))
+        with pytest.raises(InvalidParameters, match="must provide 3 shares"):
+            encrypt_party_shares([1, 2], 0, gpk, jax.random.key(0))
+
+    def test_incomplete_global_key(self):
+        p = make_params()
+        gpk = GlobalPublicKey(PvwCrs.new(p, jax.random.key(0)))
+        with pytest.raises(InvalidParameters, match="not complete"):
+            encrypt([1, 2, 3], gpk, jax.random.key(1))
+
+    def test_correctness_condition_enforced(self):
+        """encryption.rs:123-128: encrypt hard-fails without the condition."""
+        p = (PvwParametersBuilder().set_parties(3).set_dimension(4).set_l(8)
+             .set_moduli(MODULI).set_error_bounds(2**120, 2**120).build())
+        key = jax.random.key(0)
+        crs = PvwCrs.new(p, key)
+        gpk = GlobalPublicKey(crs)
+        parties = [Party.new(i, p, jax.random.fold_in(key, i)) for i in range(3)]
+        gpk.generate_all_party_keys(parties, jax.random.fold_in(key, 9))
+        with pytest.raises(InvalidParameters, match="correctness condition"):
+            encrypt([1, 2, 3], gpk, key)
+
+    def test_deterministic_with_key(self):
+        """Counter-based RNG: same key => bit-identical ciphertexts (the
+        reference cannot do this — thread_rng everywhere)."""
+        _, gpk, _ = setup_system()
+        a = encrypt([7, 8, 9], gpk, jax.random.key(3))
+        b = encrypt([7, 8, 9], gpk, jax.random.key(3))
+        assert np.array_equal(a.c1.residues_np(), b.c1.residues_np())
+        assert np.array_equal(a.c2.residues_np(), b.c2.residues_np())
+        c = encrypt([7, 8, 9], gpk, jax.random.key(4))
+        assert not np.array_equal(a.c1.residues_np(), c.c1.residues_np())
+
+
+class TestDecrypt:
+    def test_roundtrip_vector(self):
+        p, gpk, parties = setup_system()
+        scalars = [11, 22, 33]
+        ct = encrypt(scalars, gpk, jax.random.key(5))
+        for i, party in enumerate(parties):
+            assert decrypt_party_value(ct, party.secret_key, i) == scalars[i]
+
+    def test_roundtrip_broadcast(self):
+        p, gpk, parties = setup_system()
+        ct = encrypt_broadcast(777, gpk, jax.random.key(6))
+        for i, party in enumerate(parties):
+            assert decrypt_party_value(ct, party.secret_key, i) == 777
+
+    def test_roundtrip_large_values(self):
+        p, gpk, parties = setup_system()
+        big = p.delta_power_l_minus_1() - 1  # close to message-space edge
+        scalars = [big % (1 << 32), 123456789, 1]
+        ct = encrypt(scalars, gpk, jax.random.key(8))
+        for i, party in enumerate(parties):
+            assert decrypt_party_value(ct, party.secret_key, i) == scalars[i]
+
+    def test_all_party_shares_roundtrip(self):
+        """tests/crypto.rs:237-305 at l=16 with >=95% success; our RNG is
+        deterministic so we demand 100% here."""
+        p, gpk, parties = setup_system(n=4, k=4, l=16)
+        vectors = [[d * 100 + r + 1 for r in range(p.n)] for d in range(p.n)]
+        cts = encrypt_all_party_shares(vectors, gpk, jax.random.key(9))
+        assert len(cts) == p.n
+        for pi, party in enumerate(parties):
+            shares = decrypt_party_shares(cts, party.secret_key, pi)
+            assert shares == [vectors[d][pi] for d in range(p.n)]
+
+    def test_batched_equals_list_path(self):
+        p, gpk, parties = setup_system()
+        vectors = [[d * 10 + r for r in range(p.n)] for d in range(p.n)]
+        batched = encrypt_all_party_shares_batched(vectors, gpk, jax.random.key(10))
+        via_batch = decrypt_party_shares(batched, parties[1].secret_key, 1)
+        cts = encrypt_all_party_shares(vectors, gpk, jax.random.key(10))
+        via_list = decrypt_party_shares(cts, parties[1].secret_key, 1)
+        assert via_batch == via_list == [vectors[d][1] for d in range(p.n)]
+
+    def test_decrypt_validation(self):
+        p, gpk, parties = setup_system()
+        ct = encrypt([1, 2, 3], gpk, jax.random.key(11))
+        with pytest.raises(InvalidParameters, match="exceeds maximum"):
+            decrypt_party_value(ct, parties[0].secret_key, p.n)
+        with pytest.raises(InvalidParameters, match="No ciphertexts"):
+            decrypt_party_shares([], parties[0].secret_key, 0)
+        with pytest.raises(InvalidParameters, match="Expected 3 ciphertexts"):
+            decrypt_party_shares([ct], parties[0].secret_key, 0)
+
+    def test_wrong_party_index_gives_garbage_not_crash(self):
+        _, gpk, parties = setup_system()
+        ct = encrypt([42, 43, 44], gpk, jax.random.key(12))
+        v = decrypt_party_value(ct, parties[0].secret_key, 1)
+        assert isinstance(v, int)  # decodes to something, just not 43 w.h.p.
+
+
+class TestDecodeConventions:
+    def test_rounding_division(self):
+        """tests/crypto.rs:308-330 — the sign-split convention verbatim."""
+        cases = [(7, 3, 2), (8, 3, 3), (-7, 3, -2), (-8, 3, -3)]
+        for dividend, divisor, expected in cases:
+            twice = dividend * 2
+            if dividend < 0:
+                got = rust_div(twice - divisor, divisor * 2)
+            else:
+                got = rust_div(twice + divisor, divisor * 2)
+            assert got == expected
+
+    def test_zero_message(self):
+        _, gpk, parties = setup_system()
+        ct = encrypt([0, 0, 0], gpk, jax.random.key(13))
+        for i, party in enumerate(parties):
+            assert decrypt_party_value(ct, party.secret_key, i) == 0
+
+
+class TestThreshold:
+    def test_subset_selection(self):
+        p, gpk, parties = setup_system()
+        vectors = [[d + r for r in range(p.n)] for d in range(p.n)]
+        cts = encrypt_all_party_shares(vectors, gpk, jax.random.key(14))
+        sel = select_valid_ciphertexts(cts, [2, 0], threshold=2)
+        assert [i for i, _ in sel] == [2, 0]
+
+    def test_below_threshold_aborts(self):
+        p, gpk, _ = setup_system()
+        vectors = [[d + r for r in range(p.n)] for d in range(p.n)]
+        cts = encrypt_all_party_shares(vectors, gpk, jax.random.key(15))
+        with pytest.raises(InsufficientValidCiphertexts):
+            select_valid_ciphertexts(cts, [1], threshold=2)
+
+    def test_duplicate_and_range_validation(self):
+        p, gpk, _ = setup_system()
+        vectors = [[d + r for r in range(p.n)] for d in range(p.n)]
+        cts = encrypt_all_party_shares(vectors, gpk, jax.random.key(16))
+        with pytest.raises(InvalidParameters, match="duplicate"):
+            select_valid_ciphertexts(cts, [0, 0], threshold=1)
+        with pytest.raises(InvalidParameters, match="out of range"):
+            select_valid_ciphertexts(cts, [p.n], threshold=1)
+
+    def test_decrypt_valid_shares_preserves_dealer_indices(self):
+        """examples/pvw_valid_dec.rs:192-209."""
+        p, gpk, parties = setup_system()
+        vectors = [[d * 1000 + r + 1 for r in range(p.n)] for d in range(p.n)]
+        cts = encrypt_all_party_shares(vectors, gpk, jax.random.key(17))
+        result = decrypt_valid_shares(cts, [2, 1], 2, parties[0].secret_key, 0)
+        assert result == [(2, vectors[2][0]), (1, vectors[1][0])]
+
+
+class TestHigherVariance:
+    def test_variance_10_roundtrip(self):
+        """The examples/pvw_valid_dec.rs configuration uses variance 10 —
+        exercise the integer-variance CBD path end to end (scaled down)."""
+        moduli = (0x800000022A0001, 0x800000021A0001,
+                  0x80000002120001, 0x80000001F60001)
+        p = (PvwParametersBuilder().set_parties(3).set_dimension(16).set_l(8)
+             .set_moduli(moduli).set_secret_variance(10.0)
+             .set_error_bounds_u32(1, 1172385).build())
+        assert p.verify_correctness_condition()
+        key = jax.random.key(20)
+        crs = PvwCrs.new(p, jax.random.fold_in(key, 0))
+        parties = [Party.new(i, p, jax.random.fold_in(key, i + 1))
+                   for i in range(3)]
+        gpk = GlobalPublicKey(crs)
+        gpk.generate_all_party_keys(parties, jax.random.fold_in(key, 99))
+        scalars = [5, 1000000007, 3]
+        ct = encrypt(scalars, gpk, jax.random.fold_in(key, 55))
+        for i, party in enumerate(parties):
+            assert decrypt_party_value(ct, party.secret_key, i) == scalars[i]

@@ -1,0 +1,139 @@
+"""Serialization suite — mirror of ``/root/reference/tests/serialization.rs``:
+round-trips, byte-determinism, double round-trip stability, and re-validation
+after deserialization."""
+
+import numpy as np
+import jax
+import pytest
+
+from pvw_tpu import (
+    GlobalPublicKey, Party, PvwCiphertext, PvwCrs, PvwParameters,
+    PvwParametersBuilder, SecretKey, encrypt, decrypt_party_value,
+)
+from pvw_tpu.errors import DeserializationError, InvalidFormat
+from pvw_tpu.poly import Poly, Representation
+from pvw_tpu.utils import serialization as ser
+
+MODULI = (0xFFFFEE001, 0xFFFFC4001, 0x1FFFFE0001)
+
+
+def make_params(n=3, k=4, l=8):
+    b1, b2 = PvwParameters.suggest_error_bounds(n, k, l, MODULI, 0.5)
+    return (PvwParametersBuilder().set_parties(n).set_dimension(k).set_l(l)
+            .set_moduli(MODULI).set_secret_variance(0.5)
+            .set_error_bounds_u32(b1, b2).build())
+
+
+def setup_system():
+    p = make_params()
+    key = jax.random.key(0)
+    crs = PvwCrs.new(p, jax.random.fold_in(key, 0))
+    parties = [Party.new(i, p, jax.random.fold_in(key, 100 + i))
+               for i in range(p.n)]
+    gpk = GlobalPublicKey(crs)
+    gpk.generate_all_party_keys(parties, jax.random.fold_in(key, 1))
+    return p, gpk, parties
+
+
+class TestRoundTrips:
+    def test_params(self):
+        p = make_params()
+        p2 = PvwParameters.from_bytes(p.to_bytes())
+        assert p == p2
+        assert p2.delta() == p.delta()
+
+    def test_poly_byte_exact(self):
+        """tests/serialization.rs:92-130: byte-exact poly equality."""
+        p = make_params()
+        poly = Poly.random(p.ring, Representation.Ntt, jax.random.key(1), (2,))
+        blob = poly.to_bytes()
+        poly2 = Poly.from_bytes(blob)
+        assert np.array_equal(poly.residues_np(), poly2.residues_np())
+        assert poly2.rep == Representation.Ntt
+        assert poly2.to_bytes() == blob
+
+    def test_secret_key(self):
+        p = make_params()
+        sk = SecretKey.random(p, jax.random.key(2))
+        sk2 = SecretKey.from_bytes(sk.to_bytes())
+        assert np.array_equal(sk.secret_coeffs, sk2.secret_coeffs)
+        assert sk2.params == p
+
+    def test_crs(self):
+        p = make_params()
+        crs = PvwCrs.new(p, jax.random.key(3))
+        crs2 = PvwCrs.from_bytes(crs.to_bytes())
+        crs2.validate()
+        assert np.array_equal(crs.matrix.residues_np(), crs2.matrix.residues_np())
+
+    def test_public_key(self):
+        _, gpk, _ = setup_system()
+        pk = gpk.get_public_key(0)
+        pk2 = type(pk).from_bytes(pk.to_bytes())
+        pk2.validate()
+        assert np.array_equal(pk.key_polynomials.residues_np(),
+                              pk2.key_polynomials.residues_np())
+
+    def test_global_public_key_with_errors(self):
+        p, gpk, parties = setup_system()
+        gpk.generate_and_add_with_errors(1, parties[1].secret_key,
+                                         jax.random.key(9))
+        g2 = GlobalPublicKey.from_bytes(gpk.to_bytes())
+        g2.validate()
+        assert g2.num_keys == gpk.num_keys
+        assert np.array_equal(gpk.matrix.residues_np(), g2.matrix.residues_np())
+        assert g2.get_party_errors(0) is None
+        assert np.array_equal(
+            gpk.get_party_errors(1).residues_np(),
+            g2.get_party_errors(1).residues_np(),
+        )
+
+    def test_ciphertext_roundtrip_then_decrypt(self):
+        """tests/serialization.rs:320-360: round-trip then re-validate AND
+        still decrypt correctly."""
+        p, gpk, parties = setup_system()
+        scalars = [5, 6, 7]
+        ct = encrypt(scalars, gpk, jax.random.key(11))
+        ct2 = PvwCiphertext.from_bytes(ct.to_bytes())
+        ct2.validate()
+        for i, party in enumerate(parties):
+            assert decrypt_party_value(ct2, party.secret_key, i) == scalars[i]
+
+
+class TestDeterminism:
+    def test_serialization_deterministic(self):
+        """tests/serialization.rs:363-384."""
+        p = make_params()
+        assert p.to_bytes() == p.to_bytes()
+        sk = SecretKey.random(p, jax.random.key(1))
+        assert sk.to_bytes() == sk.to_bytes()
+
+    def test_double_round_trip_byte_stable(self):
+        """tests/serialization.rs:298-317."""
+        p, gpk, _ = setup_system()
+        b1 = gpk.to_bytes()
+        b2 = GlobalPublicKey.from_bytes(b1).to_bytes()
+        assert b1 == b2
+
+
+class TestErrors:
+    def test_bad_magic(self):
+        with pytest.raises(InvalidFormat):
+            ser.from_bytes(b"nope" + bytes(20))
+
+    def test_wrong_type_tag(self):
+        p = make_params()
+        with pytest.raises(DeserializationError, match="expected type"):
+            ser.crs_from_bytes(p.to_bytes())
+
+    def test_truncated(self):
+        p = make_params()
+        sk = SecretKey.random(p, jax.random.key(1))
+        blob = sk.to_bytes()
+        with pytest.raises(DeserializationError, match="truncated"):
+            ser.secret_key_from_bytes(blob[: len(blob) - 4])
+
+    def test_generic_dispatch(self):
+        p = make_params()
+        obj = ser.from_bytes(p.to_bytes())
+        assert isinstance(obj, PvwParameters)
