@@ -65,13 +65,16 @@ def main() -> None:
     log(f"CRS ({K_DIM}x{K_DIM}) generated in {time.time() - t0:.2f}s")
 
     t0 = time.time()
-    # Batched keygen for all 4096 parties in one MXU contraction
+    # Batched keygen for all 4096 parties in one MXU contraction: sample
+    # every party's CBD coefficients in ONE device call, then one matmul.
     from pvw_tpu.keys.secret_key import SecretKey
+    from pvw_tpu.sampling.cbd import sample_vec_cbd
 
-    sks = [
-        SecretKey.random(params, jax.random.fold_in(key, 10_000 + i))
-        for i in range(N_RECEIVERS)
-    ]
+    all_coeffs = np.asarray(sample_vec_cbd(
+        jax.random.fold_in(key, 10_000),
+        (N_RECEIVERS, K_DIM, ELL), params.secret_variance,
+    ))
+    sks = [SecretKey(params, all_coeffs[i]) for i in range(N_RECEIVERS)]
     gpk = GlobalPublicKey(crs)
     gpk.generate_all_keys(sks, jax.random.fold_in(key, 1))
     log(f"keygen for {N_RECEIVERS} parties in {time.time() - t0:.2f}s")

@@ -122,7 +122,19 @@ def decode_scalar_pvw_rns(coeff_residues: np.ndarray,
 
 
 def _decode_batch(residues: np.ndarray, params: PvwParameters) -> list[int]:
-    """Decode d messages: residues uint64 [d, L, l]."""
+    """Decode d messages: residues uint64 [d, L, l].
+
+    Uses the native C++ engine (OpenMP over the batch) when available and
+    the configuration is supported; falls back to the exact Python oracle.
+    Set ``PVW_TPU_NO_NATIVE=1`` to force the Python path."""
+    import os
+
+    if not os.environ.get("PVW_TPU_NO_NATIVE"):
+        from ..utils.native_decode import decode_batch_native
+
+        out = decode_batch_native(residues, params)
+        if out is not None:
+            return out
     return [decode_scalar_pvw_rns(residues[i], params) for i in range(residues.shape[0])]
 
 
