@@ -1,0 +1,109 @@
+"""Per-kernel rooflines: NTT limb-ops/sec, modular matmul MAC rate, and
+decode latency percentiles (BASELINE.json headline metrics).
+
+"NTT limb-op" = one butterfly-equivalent modular multiply-accumulate:
+the dense l x l NTT does l^2 modmuls per (poly, limb), i.e.
+l^2 * L * batch per call. Speed-of-light context printed alongside:
+v5e MXU peak ~394 TOPS int8; each modmul costs 15*64 = 960 int8 MACs in
+the banded formulation (8-digit operands, 15 columns), so the MXU-bound
+ceiling is ~410 G modmul/s before fold costs.
+
+Run on TPU: ``python benchmarks/roofline.py``
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+
+from pvw_tpu.ops import modmat, ntt as ntt_ops, u64 as u
+from pvw_tpu.params.ring import RingPlan
+
+MODULI = (0xFFFFC4001, 0x1FFFFE0001)
+
+
+def pipeline_time(fn, iters=20):
+    out = fn()
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
+
+
+def main() -> None:
+    ring = RingPlan(MODULI, 8)
+    L, l = ring.num_limbs, ring.degree
+    rng = np.random.default_rng(0)
+    results = {}
+
+    # --- NTT throughput -------------------------------------------------
+    batch = 1 << 15  # 32768 polys
+    qs = np.array(MODULI, np.uint64).reshape(1, L, 1)
+    x = rng.integers(0, 1 << 62, (batch, L, l), dtype=np.uint64) % qs
+    xp = tuple(map(jnp.asarray, u.split_u64_np(x)))
+    fwd = jax.jit(partial(ntt_ops.ntt_forward, ring=ring))
+    dt = pipeline_time(lambda: fwd(xp))
+    limb_ops = batch * L * l * l / dt
+    results["ntt_limb_ops_per_s"] = limb_ops
+    print(f"NTT: batch={batch} polys x {L} limbs, l={l}: {dt*1e3:.3f} ms "
+          f"-> {limb_ops/1e9:.2f} G limb-ops/s", flush=True)
+
+    # --- modular matmul MAC rate ---------------------------------------
+    N, K, D = 4096, 256, 64
+    qs4 = np.array(MODULI, np.uint64).reshape(L, 1, 1, 1)
+    b = rng.integers(0, 1 << 62, (L, l, N, K), dtype=np.uint64) % qs4
+    r = rng.integers(0, 1 << 62, (L, l, K, D), dtype=np.uint64) % qs4
+    bp = tuple(map(jnp.asarray, u.split_u64_np(b)))
+    rp = tuple(map(jnp.asarray, u.split_u64_np(r)))
+    mm = jax.jit(partial(modmat.matmul_channels_banded, ring=ring))
+    dt = pipeline_time(lambda: mm(bp, rp))
+    modmuls = L * l * N * K * D / dt
+    results["matmul_modmul_per_s"] = modmuls
+    print(f"matmul [{N}x{K}]x[{K}x{D}] x {L*l} channels: {dt*1e3:.3f} ms "
+          f"-> {modmuls/1e9:.2f} G modmul/s "
+          f"(MXU-bound ceiling ~410 G/s)", flush=True)
+
+    # --- decode latency -------------------------------------------------
+    from pvw_tpu import PvwParameters, PvwParametersBuilder
+    from pvw_tpu.crypto.decryption import _decode_batch
+
+    b1, b2 = PvwParameters.suggest_error_bounds(64, 32, 8, MODULI, 0.5)
+    params = (PvwParametersBuilder().set_parties(64).set_dimension(32)
+              .set_l(8).set_moduli(MODULI).set_secret_variance(0.5)
+              .set_error_bounds_u32(b1, b2).build())
+    d = 4096
+    res = (rng.integers(0, 1 << 62, (d, L, l), dtype=np.uint64)
+           % np.array(MODULI, np.uint64).reshape(1, L, 1))
+    t0 = time.time()
+    _decode_batch(res, params)
+    total = time.time() - t0
+    per = total / d
+    results["decode_p50_us"] = per * 1e6
+    print(f"decode: {d} messages in {total*1e3:.1f} ms -> "
+          f"{per*1e6:.2f} us/message (native batch, amortized)", flush=True)
+    # single-message latency (p50 over 100 calls)
+    lats = []
+    for i in range(100):
+        t0 = time.time()
+        _decode_batch(res[i : i + 1], params)
+        lats.append(time.time() - t0)
+    p50 = float(np.median(lats)) * 1e6
+    results["decode_single_p50_us"] = p50
+    print(f"decode single-message p50: {p50:.1f} us", flush=True)
+
+    print(json.dumps({k: round(v, 3) for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -110,26 +110,50 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
     """
     ring = params.ring
     k, n, l = params.k, params.n, params.l
+    L = ring.num_limbs
     d = sc_hi.shape[0]
     k_r, k_e1, k_e2 = jax.random.split(key, 3)
+
+    to_channels = lambda x: jnp.transpose(x, (2, 3, 0, 1))   # [.,.,L,l]->[L,l,.,.]
+    from_channels = lambda x: jnp.transpose(x, (2, 3, 0, 1))
 
     # r: CBD coefficients [d, k, l] -> NTT [k, d, L, l]   (encryption.rs:132-154)
     r_coeffs = sample_vec_cbd(k_r, (d, k, l), params.secret_variance)
     r_pb = modmat.from_signed_coeffs(r_coeffs, ring)            # [d, k, L, l]
     r_ntt = ntt_ops.ntt_forward(r_pb, ring)
-    r_hi = jnp.transpose(r_ntt[0], (1, 0, 2, 3))                # [k, d, L, l]
-    r_lo = jnp.transpose(r_ntt[1], (1, 0, 2, 3))
+    r_ch = (jnp.transpose(r_ntt[0], (2, 3, 1, 0)),              # [L, l, k, d]
+            jnp.transpose(r_ntt[1], (2, 3, 1, 0)))
+
+    # Column-space accumulation: fold is linear, so A·r + NTT(e1) (and
+    # B·r + NTT(e2)) are summed as int32 digit-convolution columns and
+    # folded ONCE — halving the VPU fold work vs fold-then-addmod.
+    # Magnitudes: matmul cols <= k*2^17, NTT cols <= 8l*2^14 — well inside
+    # int32 for k <= MAX_CONTRACTION.
 
     # c1 = A·r + e1                                      (encryption.rs:156-173)
-    c1 = modmat.poly_matmul((a_hi, a_lo), (r_hi, r_lo), ring)   # [k, d, L, l]
+    cols_ar = modmat.banded_cols(
+        (to_channels(a_hi), to_channels(a_lo)), r_ch, ring
+    )                                                           # [L,l,k,d,15]
     e1_hi, e1_lo = sample_uniform_residues(
         k_e1, (k, d, l), params.error_bound_1, ring
     )
-    e1 = ntt_ops.ntt_forward((e1_hi, e1_lo), ring)
-    c1 = modmat.poly_add(c1, e1, ring)
+    cols_e1, _ = ntt_ops.ntt_forward_cols((e1_hi, e1_lo), ring)  # [L,l,k*d,15]
+    c1h, c1l = modmat._fold_leading(
+        cols_ar + cols_e1.reshape(L, l, k, d, 15), ring
+    )
+    c1 = (from_channels(c1h), from_channels(c1l))                # [k, d, L, l]
 
     # c2 = B·r + encode(scalars) + e2                    (encryption.rs:175-200)
-    c2 = modmat.poly_matmul((b_hi, b_lo), (r_hi, r_lo), ring)   # [n, d, L, l]
+    cols_br = modmat.banded_cols(
+        (to_channels(b_hi), to_channels(b_lo)), r_ch, ring
+    )                                                           # [L,l,n,d,15]
+    e2_hi, e2_lo = sample_uniform_residues(
+        k_e2, (n, d, l), params.error_bound_2, ring
+    )
+    cols_e2, _ = ntt_ops.ntt_forward_cols((e2_hi, e2_lo), ring)
+    c2h, c2l = modmat._fold_leading(
+        cols_br + cols_e2.reshape(L, l, n, d, 15), ring
+    )
     # encode: m·g in NTT domain via constant Shoup multiply; u64->i64 wrap
     # (encryption.rs:195) corrected by subtracting (2^64 mod q)·g.
     enc = modmat.shoup_scale_table(
@@ -144,11 +168,9 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
     enc_lo = jnp.where(neg, wrap[1], enc[1])
     enc = (jnp.transpose(enc_hi, (1, 0, 2, 3)),                  # [n, d, L, l]
            jnp.transpose(enc_lo, (1, 0, 2, 3)))
-    e2_hi, e2_lo = sample_uniform_residues(
-        k_e2, (n, d, l), params.error_bound_2, ring
+    c2 = modmat.poly_add(
+        (from_channels(c2h), from_channels(c2l)), enc, ring
     )
-    e2 = ntt_ops.ntt_forward((e2_hi, e2_lo), ring)
-    c2 = modmat.poly_add(modmat.poly_add(c2, enc, ring), e2, ring)
     return c1[0], c1[1], c2[0], c2[1]
 
 

@@ -67,26 +67,33 @@ def _column_sums(p6):
 
 
 def _fold_leading(cols, ring: "RingPlan"):
-    """Fold columns shaped [L, ..., 15] (limb axis leading)."""
+    """Fold columns shaped [L, ..., 15] (limb axis leading) — grouped fold
+    (see :func:`pvw_tpu.ops.u64.fold_columns_grouped`)."""
     nmid = cols.ndim - 2  # dims between the leading L axis and the 15 axis
-    shp = (ring.num_limbs,) + (1,) * nmid + (C,)
+    shp = (ring.num_limbs,) + (1,) * nmid + (4,)
     qshp = (ring.num_limbs,) + (1,) * nmid
-    ph = jnp.asarray(ring.pow_hi).reshape(shp)
-    pl = jnp.asarray(ring.pow_lo).reshape(shp)
-    pw = jnp.asarray(ring.pow_wp32).reshape(shp)
+    gh = jnp.asarray(ring.grp_hi).reshape(shp)
+    gl = jnp.asarray(ring.grp_lo).reshape(shp)
+    sh = jnp.asarray(ring.grp_sh).reshape(shp)
+    sl = jnp.asarray(ring.grp_sl).reshape(shp)
+    bh = jnp.asarray(ring.bias_hi).reshape(qshp)
+    bl = jnp.asarray(ring.bias_lo).reshape(qshp)
     qh = jnp.asarray(ring.q_hi).reshape(qshp)
     ql = jnp.asarray(ring.q_lo).reshape(qshp)
-    return u.fold_columns(cols, ph, pl, pw, qh, ql)
+    return u.fold_columns_grouped(cols, gh, gl, sh, sl, bh, bl, qh, ql)
 
 
 def _fold_trailing(cols, ring: "RingPlan"):
     """Fold columns shaped [..., L, l, 15] (limb axis next-to-last-but-one)."""
-    ph = jnp.asarray(ring.pow_hi)[:, None, :]
-    pl = jnp.asarray(ring.pow_lo)[:, None, :]
-    pw = jnp.asarray(ring.pow_wp32)[:, None, :]
+    gh = jnp.asarray(ring.grp_hi)[:, None, :]
+    gl = jnp.asarray(ring.grp_lo)[:, None, :]
+    sh = jnp.asarray(ring.grp_sh)[:, None, :]
+    sl = jnp.asarray(ring.grp_sl)[:, None, :]
+    bh = jnp.asarray(ring.bias_hi)[:, None]
+    bl = jnp.asarray(ring.bias_lo)[:, None]
     qh = jnp.asarray(ring.q_hi)[:, None]
     ql = jnp.asarray(ring.q_lo)[:, None]
-    return u.fold_columns(cols, ph, pl, pw, qh, ql)
+    return u.fold_columns_grouped(cols, gh, gl, sh, sl, bh, bl, qh, ql)
 
 
 # --------------------------------------------------------------------------
@@ -122,6 +129,61 @@ def matmul_channels(lhs, rhs, ring: "RingPlan"):
     return _fold_leading(cols, ring)           # pair [L, S, m, n]
 
 
+def banded_cols(lhs, rhs, ring: "RingPlan"):
+    """Band-structured digit matmul returning the UNFOLDED convolution
+    columns int32 [L, S, m, n, 15].
+
+    Folding is linear, so callers accumulating several mod-q terms (e.g.
+    c2 = B·r + encode(m) + NTT(e2)) can sum column tensors and fold once —
+    provided the summed columns stay within int32 (each matmul contributes
+    <= contraction * 2^17; see MAX_CONTRACTION headroom).
+    """
+    (lh, ll), (rh, rl) = lhs, rhs
+    L, S, m, k = lh.shape
+    n = rh.shape[-1]
+    if k > MAX_CONTRACTION:
+        raise ValueError(f"contraction {k} exceeds int32 headroom {MAX_CONTRACTION}")
+    ld = digits(lh, ll)                       # [L, S, m, k, 8]
+    rd = digits(rh, rl)                       # [L, S, k, n, 8]
+    l2 = ld.reshape(L, S, m, k * D)           # (k-major, digit-minor)
+    band = jnp.zeros((L, S, k, D, C, n), jnp.int8)
+    rdt = jnp.transpose(rd, (0, 1, 2, 4, 3))  # [L, S, k, 8(j), n]
+    for i in range(D):
+        band = band.at[:, :, :, i, i : i + D, :].set(rdt)
+    r2 = band.reshape(L, S, k * D, C * n)
+    p = jax.lax.dot_general(
+        l2, r2,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32,
+    )                                          # [L, S, m, 15n]
+    return jnp.transpose(p.reshape(L, S, m, C, n), (0, 1, 2, 4, 3))
+
+
+def matmul_channels_banded(lhs, rhs, ring: "RingPlan"):
+    """Band-structured variant of :func:`matmul_channels`.
+
+    Instead of materializing all 64 digit-pair products ([L, S, 8m, 8n]
+    int32 — 64x the output size in HBM traffic), the rhs digits are
+    arranged into a banded matrix over (digit, column) so ONE matmul
+    produces the 15 convolution columns directly:
+
+        rhs_band[(k, i), (c, n)] = rhs_digit[k, n, c - i]  (0 <= c-i < 8)
+        P[m, (c, n)] = sum_{k,i} lhs_digit[m, k, i] * rhs_band[(k,i),(c,n)]
+                     = cols[c][m, n]
+
+    The intermediate is 15x the output (4.3x smaller), at the cost of
+    1.9x MXU MACs (15/8 vs 64/8 effective width) — a good trade since the
+    MXU is far from the bottleneck. Used when n is the small side (the
+    r / dealer-batch operand in every PVW product).
+    """
+    (lh, ll), (rh, rl) = lhs, rhs
+    L, S, m, k = lh.shape
+    n = rh.shape[-1]
+    if k > MAX_CONTRACTION:
+        raise ValueError(f"contraction {k} exceeds int32 headroom {MAX_CONTRACTION}")
+    return _fold_leading(banded_cols(lhs, rhs, ring), ring)
+
+
 def poly_matmul(a, b, ring: "RingPlan"):
     """R_q matrix product with the canonical poly layout.
 
@@ -134,7 +196,11 @@ def poly_matmul(a, b, ring: "RingPlan"):
     n = bh.shape[1]
     at = lambda x: jnp.transpose(x, (2, 3, 0, 1))   # [L, l, m, k]
     bt = lambda x: jnp.transpose(x, (2, 3, 0, 1))   # [L, l, k, n]
-    oh, ol = matmul_channels((at(ah), at(al)), (bt(bh), bt(bl)), ring)
+    # Shape heuristic: the rhs-banded form trades 1.9x MXU MACs for a 4.3x
+    # smaller int32 intermediate — a clear win when the lhs (m) side
+    # dominates the traffic (the B·r / s^T A "tall" products).
+    fn = matmul_channels_banded if m >= 2 * k else matmul_channels
+    oh, ol = fn((at(ah), at(al)), (bt(bh), bt(bl)), ring)
     back = lambda x: jnp.transpose(x, (2, 3, 0, 1))  # -> [m, n, L, l]
     return (back(oh), back(ol))
 

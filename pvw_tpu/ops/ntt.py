@@ -26,35 +26,51 @@ import jax.numpy as jnp
 from typing import TYPE_CHECKING
 
 from . import u64 as u
-from .modmat import D, _column_sums, _fold_leading, digits
+from .modmat import D, _fold_leading, digits
 
 if TYPE_CHECKING:  # avoid runtime import cycle with params.ring
     from ..params.ring import RingPlan
 
 
-def _apply_matrix(x, mat_dig, ring: "RingPlan"):
-    """x: pair [..., L, l]; mat_dig: int8 numpy [L, l, l, 8] -> pair [..., L, l]."""
+def _matrix_cols(x, band, ring: "RingPlan"):
+    """x: pair [..., L, l]; band: int8 numpy [L, 15l, 8l] (lhs-banded
+    twiddles, see RingPlan) -> unfolded columns int32 [L, l, B, 15] plus
+    the original batch shape.
+
+    One int8 matmul per limb yields the 15 digit-convolution columns
+    directly; column magnitude <= 8l * 2^14 <= 2^22.
+    """
     xh, xl = x
     batch_shape = xh.shape[:-2]
     L, l = ring.num_limbs, ring.degree
+    C = 2 * D - 1
     b = 1
     for s in batch_shape:
         b *= s
     # [..., L, l] -> [L, l(i), B]
     xh2 = jnp.moveaxis(xh.reshape(b, L, l), 0, -1)
     xl2 = jnp.moveaxis(xl.reshape(b, L, l), 0, -1)
-    xd = digits(xh2, xl2)                                  # [L, l, B, 8]
-    rhs = jnp.transpose(xd, (0, 1, 3, 2)).reshape(L, l, D * b)
-    md = jnp.asarray(mat_dig)                              # [L, l(j), l(i), 8]
-    lhs = jnp.transpose(md, (0, 3, 1, 2)).reshape(L, D * l, l)
+    xd = digits(xh2, xl2)                                  # [L, l(i), B, 8]
+    rhs = jnp.transpose(xd, (0, 1, 3, 2)).reshape(L, l * D, b)
     p = jax.lax.dot_general(
-        lhs,
+        jnp.asarray(band),
         rhs,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.int32,
-    )                                                      # [L, 8l, 8B]
-    p6 = p.reshape(L, D, l, D, b)
-    cols = _column_sums(p6)                                # [L, l, B, 15]
+    )                                                      # [L, 15l, B]
+    cols = jnp.transpose(p.reshape(L, C, l, b), (0, 2, 3, 1))  # [L, l, B, 15]
+    return cols, batch_shape
+
+
+def ntt_forward_cols(x, ring: "RingPlan"):
+    """Forward NTT as unfolded columns (for column-space accumulation in
+    the encryption kernel): returns (cols [L, l, B, 15], batch_shape)."""
+    return _matrix_cols(x, ring.ntt_fwd_band, ring)
+
+
+def _apply_matrix(x, band, ring: "RingPlan"):
+    cols, batch_shape = _matrix_cols(x, band, ring)
+    L, l = ring.num_limbs, ring.degree
     oh, ol = _fold_leading(cols, ring)                     # [L, l, B]
     oh = jnp.moveaxis(oh, -1, 0).reshape(batch_shape + (L, l))
     ol = jnp.moveaxis(ol, -1, 0).reshape(batch_shape + (L, l))
@@ -63,9 +79,9 @@ def _apply_matrix(x, mat_dig, ring: "RingPlan"):
 
 def ntt_forward(x, ring: "RingPlan"):
     """PowerBasis -> Ntt on [..., L, l] pairs."""
-    return _apply_matrix(x, ring.ntt_fwd_dig, ring)
+    return _apply_matrix(x, ring.ntt_fwd_band, ring)
 
 
 def ntt_inverse(x, ring: "RingPlan"):
     """Ntt -> PowerBasis on [..., L, l] pairs."""
-    return _apply_matrix(x, ring.ntt_inv_dig, ring)
+    return _apply_matrix(x, ring.ntt_inv_band, ring)

@@ -1,0 +1,166 @@
+"""Pallas TPU kernel: fused modular matmul (digit matmul + in-VMEM fold).
+
+The XLA path (:mod:`pvw_tpu.ops.modmat`) materializes the int32 digit-
+product columns in HBM between the MXU contraction and the VPU fold — for
+the n=4096 encryption product that intermediate is ~15-64x the output and
+dominates the runtime. This kernel fuses the two stages: each grid program
+loads one (channel, m-tile) of the lhs digits and the channel's banded rhs
+digits into VMEM, runs 15 int8 MXU contractions (one per convolution
+column — Mosaic cannot split the lane axis, so the column index is a
+leading array axis rather than an in-kernel reshape), and folds the
+columns to residues on the VPU while they are still in VMEM, writing only
+the final uint32 hi/lo pair.
+
+HBM traffic: inputs + outputs only — the speed-of-light minimum for this
+op. Grid: (channels, m/TILE_M). The fold is the same exact grouped-Shoup
+arithmetic as :func:`pvw_tpu.ops.u64.fold_columns_grouped`; exactness is
+tested in interpret mode against the XLA path and on hardware by the
+encryption round-trip tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import u64 as u
+from .modmat import C, D, digits
+
+if TYPE_CHECKING:
+    from ..params.ring import RingPlan
+
+
+def _fold_kernel_body(tables_ref, lhs_ref, band_ref, out_hi_ref, out_lo_ref):
+    """One (channel, m-tile) program.
+
+    tables_ref: uint32 [CH, 24] (SMEM): per-channel fold constants packed
+        as [grp_hi(4) | grp_lo(4) | grp_sh(4) | grp_sl(4) | bias_hi,
+        bias_lo, q_hi, q_lo, pad...].
+    lhs_ref:  int8 [1, TM, 8k] (VMEM)
+    band_ref: int8 [1, 15, 8k, n] (VMEM) — per-column banded rhs digits
+    out_*:    uint32 [1, TM, n]
+    """
+    tm = lhs_ref.shape[1]
+    n = out_hi_ref.shape[2]
+    ch = pl.program_id(0)
+    t = tables_ref
+    qh, ql = t[ch, 18], t[ch, 19]
+    lhs = lhs_ref[0]
+
+    acc_h = jnp.zeros((tm, n), u.U32)
+    acc_l = jnp.zeros((tm, n), u.U32)
+    gh_acc = jnp.zeros((tm, n), u.U32)
+    gl_acc = jnp.zeros((tm, n), u.U32)
+    for c in range(C):
+        g, r = divmod(c, 4)
+        p_c = jax.lax.dot_general(
+            lhs, band_ref[0, c],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                           # [TM, n]
+        uc = (p_c + jnp.int32(-0x80000000)).astype(u.U32)   # bias +2^31
+        if r == 0:
+            th, tl = jnp.zeros_like(uc), uc
+        else:
+            th, tl = uc >> (32 - 8 * r), uc << (8 * r)
+        gh_acc, gl_acc = u.add64(gh_acc, gl_acc, th, tl)
+        if r == 3 or c == C - 1:
+            sh, sl = u.shoup_mul64_arr(
+                gh_acc, gl_acc,
+                t[ch, 0 + g], t[ch, 4 + g], t[ch, 8 + g], t[ch, 12 + g],
+                qh, ql,
+            )
+            acc_h, acc_l = u.addmod(acc_h, acc_l, sh, sl, qh, ql)
+            gh_acc = jnp.zeros((tm, n), u.U32)
+            gl_acc = jnp.zeros((tm, n), u.U32)
+    oh, ol = u.submod(acc_h, acc_l, t[ch, 16], t[ch, 17], qh, ql)
+    out_hi_ref[0] = oh
+    out_lo_ref[0] = ol
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _fused_banded_matmul(lhs_dig, band, tables, tile_m: int, interpret: bool):
+    """lhs_dig int8 [CH, m, 8k]; band int8 [CH, 15, 8k, n];
+    tables uint32 [CH, 24] -> (hi, lo) uint32 [CH, m, n]."""
+    ch, m, kd = lhs_dig.shape
+    n = band.shape[3]
+    grid = (ch, m // tile_m)
+    out_shape = [
+        jax.ShapeDtypeStruct((ch, m, n), jnp.uint32),
+        jax.ShapeDtypeStruct((ch, m, n), jnp.uint32),
+    ]
+    return pl.pallas_call(
+        _fold_kernel_body,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full table, indexed by ch
+            pl.BlockSpec((1, tile_m, kd), lambda c, i: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, kd, n), lambda c, i: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_m, n), lambda c, i: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, n), lambda c, i: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(tables, lhs_dig, band)
+
+
+def _pack_tables(ring: "RingPlan") -> np.ndarray:
+    """Per-limb fold constants -> uint32 [L, 24] rows for SMEM."""
+    L = ring.num_limbs
+    t = np.zeros((L, 24), np.uint32)
+    t[:, 0:4] = ring.grp_hi
+    t[:, 4:8] = ring.grp_lo
+    t[:, 8:12] = ring.grp_sh
+    t[:, 12:16] = ring.grp_sl
+    t[:, 16] = ring.bias_hi
+    t[:, 17] = ring.bias_lo
+    t[:, 18] = ring.q_hi
+    t[:, 19] = ring.q_lo
+    return t
+
+
+def _build_band_cmajor(rd):
+    """rhs digits [CH, k, n, 8] int8 -> banded [CH, 15, 8k, n] int8
+    (column index leading so the kernel slices it without lane reshapes)."""
+    chn, k, n, _ = rd.shape
+    rdt = jnp.transpose(rd, (0, 1, 3, 2))            # [CH, k, 8, n]
+    band = jnp.zeros((chn, k, D, C, n), jnp.int8)
+    for i in range(D):
+        band = band.at[:, :, i, i : i + D, :].set(rdt)
+    # [CH, k, D, C, n] -> [CH, C, k*D, n]
+    return jnp.transpose(band, (0, 3, 1, 2, 4)).reshape(chn, C, k * D, n)
+
+
+def matmul_channels_pallas(lhs, rhs, ring: "RingPlan", tile_m: int = 256,
+                           interpret: bool | None = None):
+    """Drop-in fused twin of :func:`pvw_tpu.ops.modmat.matmul_channels`.
+
+    lhs: pair [L, S, m, k]; rhs: pair [L, S, k, n] -> pair [L, S, m, n].
+    ``interpret=None`` auto-selects interpret mode off-TPU (for tests).
+    """
+    (lh, ll), (rh, rl) = lhs, rhs
+    L, S, m, k = lh.shape
+    n = rh.shape[-1]
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    tile_m = min(tile_m, m)
+    while m % tile_m:
+        tile_m //= 2
+    ld = digits(lh, ll).reshape(L * S, m, k * D)
+    rd = digits(rh, rl).reshape(L * S, k, n, D)
+    band = _build_band_cmajor(rd)
+    tables = jnp.repeat(jnp.asarray(_pack_tables(ring)), S, axis=0)  # [L*S, 24]
+    oh, ol = _fused_banded_matmul(ld, band, tables, tile_m, interpret)
+    return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)

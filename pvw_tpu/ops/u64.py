@@ -278,6 +278,51 @@ def to_signed_digits(hi, lo):
     return jnp.stack(out, axis=-1)
 
 
+def fold_columns_grouped(cols, grp_wh, grp_wl, grp_sh, grp_sl, bias_h, bias_l,
+                         qh, ql):
+    """Cheaper recombination of digit-convolution columns, exact.
+
+    Let V = sum_c M_c * 2^(8c) with M_c int32. Bias each column by 2^31
+    (U_c = M_c + 2^31, unsigned) so sign handling disappears; the constant
+    sum K = sum_c 2^31 * 2^(8c) mod q is precomputed per limb and
+    subtracted once. Group the 15 biased columns four-at-a-time into exact
+    u64 accumulators (max 4 * 2^32 * 2^24 < 2^59):
+
+        G_g = sum_{r<4} U_{4g+r} << 8r          (g = 0..3)
+        V + K = G_0 + G_1*2^32 + G_2*2^64 + G_3*2^96
+
+    then four Shoup multiplies by w_g = 2^(32g) mod q and one constant
+    subtract. ~1.5x fewer VPU ops than 15 per-column Shoup folds and a
+    single pass over the column data.
+
+    ``grp_*``: broadcastable arrays indexed by the trailing axis (length 4)
+    of w_g and its 64-bit Shoup companion; ``bias_*``: K mod q pairs.
+    """
+    shape = cols.shape[:-1]
+    acc_h = jnp.zeros(shape, U32)
+    acc_l = jnp.zeros(shape, U32)
+    for g in range(4):
+        gh = jnp.zeros(shape, U32)
+        gl = jnp.zeros(shape, U32)
+        for r in range(4):
+            c = 4 * g + r
+            if c >= cols.shape[-1]:
+                break
+            uc = (cols[..., c] + jnp.int32(-0x80000000)).astype(U32)  # +2^31
+            if r == 0:
+                th, tl = jnp.zeros_like(uc), uc
+            else:
+                th, tl = uc >> (32 - 8 * r), uc << (8 * r)
+            gh, gl = add64(gh, gl, th, tl)
+        th, tl = shoup_mul64_arr(
+            gh, gl,
+            grp_wh[..., g], grp_wl[..., g], grp_sh[..., g], grp_sl[..., g],
+            qh, ql,
+        )
+        acc_h, acc_l = addmod(acc_h, acc_l, th, tl, qh, ql)
+    return submod(acc_h, acc_l, bias_h, bias_l, qh, ql)
+
+
 def fold_columns(cols, pow_wh, pow_wl, pow_wp32, qh, ql):
     """Recombine digit-convolution columns into a residue mod q.
 

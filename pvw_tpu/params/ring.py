@@ -60,6 +60,24 @@ def _digits_np(values: np.ndarray) -> np.ndarray:
     return out.astype(np.int8)
 
 
+def _band_lhs_np(dig: np.ndarray) -> np.ndarray:
+    """lhs digits [m, k, 8] int8 -> banded [15m, 8k] with
+    band[(c, m), (k, j)] = dig[m, k, c - j] for 0 <= c-j < 8, else 0.
+
+    A matmul of this band against rhs digits arranged [(k, j), n]
+    (k-major, digit-minor) produces the 15 digit-convolution columns
+    c-major — no 8x8 outer product, no column-sum pass."""
+    m, k, nd = dig.shape
+    ncols = 2 * nd - 1
+    band = np.zeros((ncols, m, k, nd), np.int8)
+    for c in range(ncols):
+        for j in range(nd):
+            d = c - j
+            if 0 <= d < nd:
+                band[c, :, :, j] = dig[:, :, d]
+    return band.reshape(ncols * m, k * nd)
+
+
 @dataclass(frozen=True)
 class LimbPlan:
     """Per-prime constants."""
@@ -114,8 +132,30 @@ class RingPlan:
                 pow_sh32[i, c] = (w << 32) // q
         self.pow_hi, self.pow_lo = u64op.split_u64_np(pow_vals)    # [L, 15]
         self.pow_wp32 = pow_sh32.astype(np.uint32)                 # [L, 15]
+        # grouped-fold tables: w_g = 2^(32g) mod q with 64-bit Shoup
+        # companions, and the bias constant K = sum_c 2^31 * 2^(8c) mod q
+        grp_w = np.zeros((L, 4), np.uint64)
+        grp_s = np.zeros((L, 4), np.uint64)
+        bias = np.zeros((L,), np.uint64)
+        for i, q in enumerate(moduli):
+            for g in range(4):
+                w = pow(2, 32 * g, q)
+                grp_w[i, g] = w
+                grp_s[i, g] = (w << 64) // q
+            k_const = sum((1 << 31) << (8 * c) for c in range(u64op.NUM_COLUMNS))
+            bias[i] = k_const % q
+        self.grp_hi, self.grp_lo = u64op.split_u64_np(grp_w)       # [L, 4]
+        self.grp_sh, self.grp_sl = u64op.split_u64_np(grp_s)
+        self.bias_hi, self.bias_lo = u64op.split_u64_np(bias)      # [L]
         self.ntt_fwd_dig = np.stack([lp.ntt_fwd_dig for lp in self.limbs])  # [L,l,l,8]
         self.ntt_inv_dig = np.stack([lp.ntt_inv_dig for lp in self.limbs])
+        # lhs-banded twiddle matrices: one matmul yields the 15 convolution
+        # columns directly (see ops/modmat.py banded discussion) — free at
+        # plan-build time since the twiddles are constant.
+        self.ntt_fwd_band = np.stack([_band_lhs_np(lp.ntt_fwd_dig)
+                                      for lp in self.limbs])  # [L, 15l, 8l]
+        self.ntt_inv_band = np.stack([_band_lhs_np(lp.ntt_inv_dig)
+                                      for lp in self.limbs])
 
     # -- construction helpers ------------------------------------------
 
