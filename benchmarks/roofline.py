@@ -31,13 +31,21 @@ from pvw_tpu.params.ring import RingPlan
 MODULI = (0xFFFFC4001, 0x1FFFFE0001)
 
 
+def _sync(out):
+    """Force completion: fetch one scalar to the host. (On the axon tunnel
+    backend ``jax.block_until_ready`` returns early; a host read of the
+    last queued buffer is the only reliable barrier.)"""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
+
 def pipeline_time(fn, iters=20):
-    out = fn()
-    jax.block_until_ready(out)
+    _sync(fn())
     t0 = time.time()
+    out = None
     for _ in range(iters):
         out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.time() - t0) / iters
 
 

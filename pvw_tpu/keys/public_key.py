@@ -10,6 +10,7 @@ pool with the MXU.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -17,11 +18,43 @@ import jax
 import jax.numpy as jnp
 
 from ..errors import DimensionMismatch, InvalidParameters
-from ..ops import modmat
+from ..ops import modmat, ntt as ntt_ops
 from ..params.crs import PvwCrs
 from ..params.parameters import PvwParameters
 from ..poly import Poly, Representation
+from ..sampling.uniform import sample_uniform_residues
 from .secret_key import SecretKey
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _batch_keygen_kernel(params: PvwParameters, a_hi, a_lo, coeffs, key):
+    """All-party public keys in one compiled program:
+    b[p, i] = sum_j sk[p, j] * A[j, i] + e1[p, i].
+
+    coeffs: int32 [p, k, l] CBD secrets; A: [k, k, L, l] NTT.
+    Returns (hi, lo) [p, k, L, l]. The s^T A columns and the NTT(e1)
+    columns are accumulated in int32 column space and folded once (same
+    fusion as the encryption kernel).
+    """
+    ring = params.ring
+    L, l, k = ring.num_limbs, ring.degree, params.k
+    p = coeffs.shape[0]
+    sk_ntt = ntt_ops.ntt_forward(modmat.from_signed_coeffs(coeffs, ring), ring)
+    to_ch = lambda x: jnp.transpose(x, (2, 3, 0, 1))
+    cols_ska = modmat.banded_cols(
+        (to_ch(sk_ntt[0]), to_ch(sk_ntt[1])),
+        (to_ch(a_hi), to_ch(a_lo)),
+        ring,
+    )                                                  # [L, l, p, k, 15]
+    e1_hi, e1_lo = sample_uniform_residues(
+        key, (p, k, l), params.error_bound_1, ring
+    )
+    cols_e1, _ = ntt_ops.ntt_forward_cols((e1_hi, e1_lo), ring)
+    bh, bl = modmat._fold_leading(
+        cols_ska + cols_e1.reshape(L, l, p, k, 15), ring
+    )
+    back = lambda x: jnp.transpose(x, (2, 3, 0, 1))    # -> [p, k, L, l]
+    return back(bh), back(bl)
 
 
 class Party:
@@ -199,30 +232,34 @@ class GlobalPublicKey:
 
     def _batch_generate(self, secret_keys: list[SecretKey], indices: list[int],
                         key: jax.Array, record_errors: bool) -> None:
+        del record_errors  # batch paths never record (matches reference)
         params = self.params
-        # Stack all secret keys: [p, k, l] coeffs -> NTT polys [p, k, L, l]
         coeffs = np.stack([sk.secret_coeffs for sk in secret_keys])
-        sk_polys = Poly.from_coefficients(coeffs, params.ring).to_ntt()
-        # result[p, i] = sum_j sk[p, j] * A[j, i]  — [p, k] x [k, k]
-        hi, lo = modmat.poly_matmul(sk_polys.pair, self.crs.matrix.pair,
-                                    params.ring)
-        errors = params.sample_error_1(key, batch=(len(secret_keys), params.k))
-        b = Poly(hi, lo, Representation.Ntt, params.ring) + errors
+        if params.error_bound_1 < min(params.ring.moduli):
+            bh, bl = _batch_keygen_kernel(
+                params, self.crs.matrix.hi, self.crs.matrix.lo,
+                jnp.asarray(coeffs), key,
+            )
+        else:
+            # huge-bound host sampling path (device kernel requires
+            # bound < min modulus)
+            sk_polys = Poly.from_coefficients(coeffs, params.ring).to_ntt()
+            hi, lo = modmat.poly_matmul(sk_polys.pair, self.crs.matrix.pair,
+                                        params.ring)
+            errors = params.sample_error_1(key, batch=(len(secret_keys),
+                                                       params.k))
+            b = Poly(hi, lo, Representation.Ntt, params.ring) + errors
+            bh, bl = b.hi, b.lo
         idx = jnp.asarray(indices, jnp.int32)
         self.matrix = Poly(
-            self.matrix.hi.at[idx].set(b.hi),
-            self.matrix.lo.at[idx].set(b.lo),
+            self.matrix.hi.at[idx].set(bh),
+            self.matrix.lo.at[idx].set(bl),
             Representation.Ntt,
             params.ring,
         )
         for i in indices:
             if i >= self.num_keys:
                 self.num_keys = i + 1
-        if record_errors:
-            while len(self.error_polynomials) < max(indices) + 1:
-                self.error_polynomials.append(None)
-            for row, i in enumerate(indices):
-                self.error_polynomials[i] = errors[row]
 
     # -- accessors -------------------------------------------------------
 
