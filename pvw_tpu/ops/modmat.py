@@ -197,9 +197,11 @@ def poly_matmul(a, b, ring: "RingPlan"):
     at = lambda x: jnp.transpose(x, (2, 3, 0, 1))   # [L, l, m, k]
     bt = lambda x: jnp.transpose(x, (2, 3, 0, 1))   # [L, l, k, n]
     # Shape heuristic: the rhs-banded form trades 1.9x MXU MACs for a 4.3x
-    # smaller int32 intermediate — a clear win when the lhs (m) side
-    # dominates the traffic (the B·r / s^T A "tall" products).
-    fn = matmul_channels_banded if m >= 2 * k else matmul_channels
+    # smaller int32 intermediate — a win whenever the output (m) side is at
+    # least as large as the contraction (A·r, B·r, s^T A). The standard
+    # form only wins for skinny outputs (the m=1 decryption inner product,
+    # where the 64x intermediate is tiny anyway).
+    fn = matmul_channels_banded if m >= k else matmul_channels
     oh, ol = fn((at(ah), at(al)), (bt(bh), bt(bl)), ring)
     back = lambda x: jnp.transpose(x, (2, 3, 0, 1))  # -> [m, n, L, l]
     return (back(oh), back(ol))
