@@ -39,10 +39,20 @@ def log(*a):
 
 
 def main() -> None:
+    import argparse
+
+    global N_RECEIVERS, K_DIM, BATCH
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--receivers", type=int, default=N_RECEIVERS)
+    ap.add_argument("--dimension", type=int, default=K_DIM)
+    ap.add_argument("--batch", type=int, default=BATCH)
+    args = ap.parse_args()
+    N_RECEIVERS, K_DIM, BATCH = args.receivers, args.dimension, args.batch
+
     import jax
 
     from pvw_tpu import (
-        GlobalPublicKey, Party, PvwCrs, PvwParameters, PvwParametersBuilder,
+        GlobalPublicKey, PvwCrs, PvwParameters, PvwParametersBuilder,
     )
     from pvw_tpu.crypto.encryption import _encrypt_kernel, _scalars_to_pairs
 

@@ -14,7 +14,7 @@ import numpy as np
 import jax
 
 from ..errors import DimensionMismatch, InvalidParameters
-from ..ops import modmat, u64 as u64op
+from ..ops import modmat
 from ..poly import Poly, Representation
 from ..utils.chacha import ChaCha8Rng, uniform_residues_from_seeds
 from ..utils.siphash import tag_seed

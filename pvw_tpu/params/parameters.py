@@ -16,7 +16,6 @@ matter on device are precomputed tables:
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
@@ -25,7 +24,6 @@ import jax
 from ..errors import InvalidParameters, SamplingError
 from ..utils.intmath import integer_nth_root
 from .ring import RingPlan, get_ring
-from ..ops import u64 as u64op
 
 
 def _to_f64(x: int) -> float:

@@ -18,7 +18,7 @@ reference's ``Array2<Poly>`` design (SURVEY.md §7).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import lru_cache
 
 import numpy as np

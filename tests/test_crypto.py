@@ -7,7 +7,7 @@ import pytest
 
 from pvw_tpu import (
     GlobalPublicKey, Party, PvwCrs, PvwParameters, PvwParametersBuilder,
-    encrypt, encrypt_batch, encrypt_broadcast, encrypt_party_shares,
+    encrypt, encrypt_broadcast, encrypt_party_shares,
     encrypt_all_party_shares, encrypt_all_party_shares_batched,
     decrypt_party_shares, decrypt_party_value,
 )
