@@ -31,7 +31,7 @@ N_RECEIVERS = 4096
 K_DIM = 256
 ELL = 8
 MODULI = (0xFFFFC4001, 0x1FFFFE0001)
-BATCH = 64
+BATCH = 256
 
 
 def log(*a):

@@ -30,8 +30,8 @@ from ..keys.public_key import GlobalPublicKey
 from ..ops import modmat, ntt as ntt_ops, u64 as u64op
 from ..params.parameters import PvwParameters
 from ..poly import Poly, Representation
-from ..sampling.cbd import sample_vec_cbd
-from ..sampling.uniform import sample_uniform_residues
+from ..sampling.cbd import sample_vec_cbd_rows
+from ..sampling.uniform import sample_uniform_residues_rows
 
 
 class PvwCiphertext:
@@ -117,12 +117,14 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
     to_channels = lambda x: jnp.transpose(x, (2, 3, 0, 1))   # [.,.,L,l]->[L,l,.,.]
     from_channels = lambda x: jnp.transpose(x, (2, 3, 0, 1))
 
-    # r: CBD coefficients [d, k, l] -> NTT [k, d, L, l]   (encryption.rs:132-154)
-    r_coeffs = sample_vec_cbd(k_r, (d, k, l), params.secret_variance)
-    r_pb = modmat.from_signed_coeffs(r_coeffs, ring)            # [d, k, L, l]
+    # r: row-keyed CBD ("stream v2": row j from fold_in(k_r, j), so mesh
+    # shards sample only their k-block; see sampling/uniform.py) ->
+    # coefficients [k, d, l] -> NTT [k, d, L, l]          (encryption.rs:132-154)
+    r_coeffs = sample_vec_cbd_rows(k_r, 0, k, (d, l), params.secret_variance)
+    r_pb = modmat.from_signed_coeffs(r_coeffs, ring)            # [k, d, L, l]
     r_ntt = ntt_ops.ntt_forward(r_pb, ring)
-    r_ch = (jnp.transpose(r_ntt[0], (2, 3, 1, 0)),              # [L, l, k, d]
-            jnp.transpose(r_ntt[1], (2, 3, 1, 0)))
+    r_ch = (jnp.transpose(r_ntt[0], (2, 3, 0, 1)),              # [L, l, k, d]
+            jnp.transpose(r_ntt[1], (2, 3, 0, 1)))
 
     # Column-space accumulation: fold is linear, so A·r + NTT(e1) (and
     # B·r + NTT(e2)) are summed as int32 digit-convolution columns and
@@ -134,8 +136,8 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
     cols_ar = modmat.banded_cols(
         (to_channels(a_hi), to_channels(a_lo)), r_ch, ring
     )                                                           # [L,l,k,d,15]
-    e1_hi, e1_lo = sample_uniform_residues(
-        k_e1, (k, d, l), params.error_bound_1, ring
+    e1_hi, e1_lo = sample_uniform_residues_rows(
+        k_e1, 0, k, (d, l), params.error_bound_1, ring
     )
     cols_e1, _ = ntt_ops.ntt_forward_cols((e1_hi, e1_lo), ring)  # [L,l,k*d,15]
     c1h, c1l = modmat._fold_leading(
@@ -147,8 +149,8 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
     cols_br = modmat.banded_cols(
         (to_channels(b_hi), to_channels(b_lo)), r_ch, ring
     )                                                           # [L,l,n,d,15]
-    e2_hi, e2_lo = sample_uniform_residues(
-        k_e2, (n, d, l), params.error_bound_2, ring
+    e2_hi, e2_lo = sample_uniform_residues_rows(
+        k_e2, 0, n, (d, l), params.error_bound_2, ring
     )
     cols_e2, _ = ntt_ops.ntt_forward_cols((e2_hi, e2_lo), ring)
     c2h, c2l = modmat._fold_leading(

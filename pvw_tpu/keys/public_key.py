@@ -22,7 +22,7 @@ from ..ops import modmat, ntt as ntt_ops
 from ..params.crs import PvwCrs
 from ..params.parameters import PvwParameters
 from ..poly import Poly, Representation
-from ..sampling.uniform import sample_uniform_residues
+from ..sampling.uniform import sample_uniform_residues_rows
 from .secret_key import SecretKey
 
 
@@ -46,8 +46,8 @@ def _batch_keygen_kernel(params: PvwParameters, a_hi, a_lo, coeffs, key):
         (to_ch(a_hi), to_ch(a_lo)),
         ring,
     )                                                  # [L, l, p, k, 15]
-    e1_hi, e1_lo = sample_uniform_residues(
-        key, (p, k, l), params.error_bound_1, ring
+    e1_hi, e1_lo = sample_uniform_residues_rows(
+        key, 0, p, (k, l), params.error_bound_1, ring
     )
     cols_e1, _ = ntt_ops.ntt_forward_cols((e1_hi, e1_lo), ring)
     bh, bl = modmat._fold_leading(

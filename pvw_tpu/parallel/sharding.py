@@ -37,8 +37,8 @@ from ..keys.public_key import GlobalPublicKey
 from ..ops import modmat, ntt as ntt_ops, u64 as u64op
 from ..params.parameters import PvwParameters
 from ..poly import Poly, Representation
-from ..sampling.cbd import sample_vec_cbd
-from ..sampling.uniform import sample_uniform_residues
+from ..sampling.cbd import sample_vec_cbd_rows
+from ..sampling.uniform import sample_uniform_residues_rows
 from ..crypto.encryption import PvwCiphertext, _scalars_to_pairs
 
 
@@ -85,20 +85,20 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         k_r, k_e1, k_e2 = jax.random.split(key, 3)
         my_k = jax.lax.axis_index("kdim")
 
-        # identical full r on every shard (counter-based), slice own block
-        r_coeffs = sample_vec_cbd(k_r, (d, k, l), params.secret_variance)
-        r_pb = modmat.from_signed_coeffs(r_coeffs, ring)       # [d, k, L, l]
-        r_ntt = ntt_ops.ntt_forward(r_pb, ring)
-        r_hi = jnp.transpose(r_ntt[0], (1, 0, 2, 3))           # [k, d, L, l]
-        r_lo = jnp.transpose(r_ntt[1], (1, 0, 2, 3))
-        rb_hi = jax.lax.dynamic_slice_in_dim(r_hi, my_k * kc, kc, 0)
-        rb_lo = jax.lax.dynamic_slice_in_dim(r_lo, my_k * kc, kc, 0)
+        # r: row-keyed streams ("stream v2") — this shard samples ONLY its
+        # k-block; rows are keyed by global row index so the values are
+        # bit-identical to the single-device kernel on any mesh shape.
+        r_coeffs = sample_vec_cbd_rows(
+            k_r, my_k * kc, kc, (d, l), params.secret_variance
+        )                                                      # [kc, d, l]
+        r_pb = modmat.from_signed_coeffs(r_coeffs, ring)       # [kc, d, L, l]
+        rb_hi, rb_lo = ntt_ops.ntt_forward(r_pb, ring)
 
         # c1 partial over the local k block, then gather+addmod over kdim
         c1p = modmat.poly_matmul((a_hi, a_lo), (rb_hi, rb_lo), ring)
         c1_hi, c1_lo = _modsum_gathered(c1p[0], c1p[1], ring, "kdim")
-        e1_hi, e1_lo = sample_uniform_residues(
-            k_e1, (k, d, l), params.error_bound_1, ring
+        e1_hi, e1_lo = sample_uniform_residues_rows(
+            k_e1, 0, k, (d, l), params.error_bound_1, ring
         )
         e1 = ntt_ops.ntt_forward((e1_hi, e1_lo), ring)
         c1 = modmat.poly_add((c1_hi, c1_lo), e1, ring)
@@ -119,17 +119,13 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         enc = (jnp.transpose(enc_hi, (1, 0, 2, 3)),
                jnp.transpose(enc_lo, (1, 0, 2, 3)))             # [nl, d, L, l]
 
-        # e2: full stream sliced to local rows -> bit-identical to 1-chip
+        # e2: row-keyed — sample only this shard's receiver rows
         my_r = jax.lax.axis_index("recv")
         nl = b_hi.shape[0]
-        e2_hi, e2_lo = sample_uniform_residues(
-            k_e2, (n, d, l), params.error_bound_2, ring
+        e2_hi, e2_lo = sample_uniform_residues_rows(
+            k_e2, my_r * nl, nl, (d, l), params.error_bound_2, ring
         )
-        e2f = ntt_ops.ntt_forward((e2_hi, e2_lo), ring)
-        e2 = (
-            jax.lax.dynamic_slice_in_dim(e2f[0], my_r * nl, nl, 0),
-            jax.lax.dynamic_slice_in_dim(e2f[1], my_r * nl, nl, 0),
-        )
+        e2 = ntt_ops.ntt_forward((e2_hi, e2_lo), ring)
         c2 = modmat.poly_add(modmat.poly_add((c2_hi, c2_lo), enc, ring), e2, ring)
         return c1[0], c1[1], c2[0], c2[1]
 

@@ -73,6 +73,21 @@ class PvwCrs:
             return None
         return self.matrix[i, j]
 
+    def set_element(self, i: int, j: int, poly: Poly) -> None:
+        """Replace element (i, j) — functional-update analogue of
+        ``get_mut`` (``crs.rs:98-100``); JAX arrays are immutable so the
+        matrix tensor is rebuilt."""
+        if not (0 <= i < self.params.k and 0 <= j < self.params.k):
+            raise InvalidParameters(f"index ({i}, {j}) out of bounds")
+        if poly.ring != self.params.ring:
+            raise InvalidParameters("CRS polynomial context mismatch")
+        self.matrix = Poly(
+            self.matrix.hi.at[i, j].set(poly.to_ntt().hi),
+            self.matrix.lo.at[i, j].set(poly.to_ntt().lo),
+            Representation.Ntt,
+            self.params.ring,
+        )
+
     def dimensions(self) -> tuple[int, int]:
         return (self.params.k, self.params.k)
 

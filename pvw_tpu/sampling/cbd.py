@@ -62,6 +62,18 @@ def sample_vec_cbd(key: jax.Array, shape: tuple[int, ...], variance: float):
     raise SamplingError("The variance should be between 0.5 and 16")
 
 
+def sample_vec_cbd_rows(key: jax.Array, row_offset, num_rows: int,
+                        shape_tail: tuple[int, ...], variance: float):
+    """Row-keyed CBD ("stream v2", see
+    :func:`pvw_tpu.sampling.uniform.sample_uniform_residues_rows`): row i is
+    drawn from ``fold_in(key, row_offset + i)`` so mesh shards can sample
+    only their rows and still match the full-array call bit for bit."""
+    _check_variance(variance)
+    idx = jnp.asarray(row_offset) + jnp.arange(num_rows)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
+    return jax.vmap(lambda k: sample_vec_cbd(k, tuple(shape_tail), variance))(keys)
+
+
 def cbd_bound(variance: float) -> int:
     """Maximum |coefficient| for CBD(variance): 1 for var 0.5, else 2v
     (``secret_key.rs:226`` uses 2*variance as the validation bound)."""

@@ -41,6 +41,20 @@ def sample_bounded_u64(key: jax.Array, shape: tuple[int, ...], range_size: int):
     return vh, vl
 
 
+def sample_uniform_coefficients(bound: int, count: int, rng=None) -> list[int]:
+    """Uniform integers in [-bound, bound] as Python ints — direct analogue
+    of the reference's public ``sample_uniform_coefficients``
+    (``uniform.rs:5-22``). ``rng``: optional ``random.Random``-like object
+    with ``randint`` (defaults to a fresh system-seeded instance)."""
+    import random as _random
+
+    bound = int(bound)
+    if bound < 0:
+        raise SamplingError("bound must be non-negative")
+    r = rng if rng is not None else _random.SystemRandom()
+    return [r.randint(-bound, bound) for _ in range(count)]
+
+
 def sample_uniform_residues_host(
     key: jax.Array, shape: tuple[int, ...], bound: int, ring: RingPlan
 ):
@@ -94,6 +108,41 @@ def sample_uniform_residues(
             f"bound {bound} >= smallest modulus; use host-side sampling"
         )
     vh, vl = sample_bounded_u64(key, shape, 2 * bound + 1)
+    return _embed_centered(vh, vl, shape, bound, ring)
+
+
+def sample_uniform_residues_rows(
+    key: jax.Array, row_offset, num_rows: int, shape_tail: tuple[int, ...],
+    bound: int, ring: RingPlan,
+):
+    """Row-keyed variant ("stream v2"): row i of the result is drawn from
+    ``fold_in(key, row_offset + i)``, independent of how many rows this
+    call produces. A mesh shard holding rows [off, off+cnt) therefore
+    samples EXACTLY the same values the full-array call would have placed
+    there — no redundant full-stream sampling, bit-identical on any mesh.
+
+    Returns residues [num_rows, *shape_tail[:-1], L, l].
+    ``row_offset`` may be a traced scalar (e.g. from ``jax.lax.axis_index``).
+    """
+    bound = int(bound)
+    if bound <= 0:
+        raise SamplingError("bound must be positive")
+    if bound >= min(ring.moduli):
+        raise SamplingError(
+            f"bound {bound} >= smallest modulus; use host-side sampling"
+        )
+    idx = jnp.asarray(row_offset) + jnp.arange(num_rows)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
+    vh, vl = jax.vmap(
+        lambda k: sample_bounded_u64(k, shape_tail, 2 * bound + 1)
+    )(keys)
+    shape = (num_rows,) + tuple(shape_tail)
+    return _embed_centered(vh, vl, shape, bound, ring)
+
+
+def _embed_centered(vh, vl, shape, bound: int, ring: RingPlan):
+    """values in [0, 2*bound] (uint32 pairs, shape ``shape``) -> centered
+    residues [..., L, l] with the limb axis inserted before the last."""
     bh, bl = u.const_pair(bound)
     # signed value = v - bound; residue_i = (v - bound) mod q_i
     neg = u.lt64(vh, vl, bh, bl)

@@ -196,6 +196,32 @@ class CrtBasis:
         return tuple(x % m for m in self.moduli)
 
 
+def generate_ntt_primes(bit_size: int, count: int, degree: int) -> tuple[int, ...]:
+    """Generate ``count`` distinct NTT-friendly primes of exactly
+    ``bit_size`` bits (q ≡ 1 mod 2*degree, q < 2^62), searching downward
+    from 2^bit_size — deterministic, so parameter sets are reproducible.
+
+    The analogue of fhe.rs's prime-generation helper that the reference's
+    users rely on for building RNS chains (the reference itself takes
+    moduli as raw u64 inputs, e.g. ``tests/params.rs:21``).
+    """
+    if bit_size < 14 or bit_size > 61:
+        raise ValueError("bit_size must be in [14, 61]")
+    step = 2 * degree
+    out: list[int] = []
+    # largest candidate ≡ 1 mod 2l strictly below 2^bit_size
+    cand = ((1 << bit_size) - 2) // step * step + 1
+    while len(out) < count and cand > (1 << (bit_size - 1)):
+        if is_probable_prime(cand):
+            out.append(cand)
+        cand -= step
+    if len(out) < count:
+        raise ValueError(
+            f"not enough {bit_size}-bit NTT primes for degree {degree}"
+        )
+    return tuple(out)
+
+
 def validate_ntt_modulus(q: int, degree: int) -> None:
     """Check q is an NTT-friendly prime for negacyclic degree ``degree``:
     prime, odd, q ≡ 1 (mod 2·degree), and q < 2^62 (both fhe-math's Context

@@ -9,6 +9,10 @@ compatibility breaks that must be release-noted, not silent.
 
 (The pins assume jax's default threefry bit stream; a jax upgrade that
 changes it would trip these tests loudly, which is the desired behavior.)
+
+Stream history: v2 (row-keyed sampling — r/e1/e2 rows derive from
+fold_in(key, global_row) so mesh shards sample only their rows; changed
+gpk/ciphertext pins). v1 was whole-array draws.
 """
 
 import hashlib
@@ -57,12 +61,12 @@ def test_secret_key_hash(system):
 
 def test_global_pk_hash(system):
     _, _, gpk, _, _ = system
-    assert _h(gpk.matrix.residues_np()) == "0736ff9e54610ae1"
+    assert _h(gpk.matrix.residues_np()) == "cf0329ddf27968e2"
 
 
 def test_ciphertext_hash(system):
     p, _, gpk, _, key = system
     sc = np.arange(2 * p.n, dtype=np.uint64).reshape(2, p.n)
     ct = encrypt_batch(sc, gpk, jax.random.fold_in(key, 7))
-    assert _h(ct.c1.residues_np()) == "306d0a00a6e31d09"
-    assert _h(ct.c2.residues_np()) == "4f25dba67a478592"
+    assert _h(ct.c1.residues_np()) == "ff145153fe575a3b"
+    assert _h(ct.c2.residues_np()) == "3e67d2b6088655a0"

@@ -233,3 +233,43 @@ class TestGlobalPublicKey:
         parties = [Party.new(i % p.n, p, jax.random.key(i)) for i in range(p.n + 1)]
         with pytest.raises(InvalidParameters, match="Too many parties"):
             gpk.generate_all_party_keys(parties, jax.random.key(9))
+
+
+class TestMoreReferenceParity:
+    def test_full_capacity(self):
+        """tests/keys.rs:247-273: filling all n slots."""
+        p = make_params()
+        gpk = GlobalPublicKey(PvwCrs.new(p, jax.random.key(0)))
+        for i in range(p.n):
+            sk = SecretKey.random(p, jax.random.fold_in(jax.random.key(1), i))
+            gpk.generate_and_add(i, sk, jax.random.fold_in(jax.random.key(2), i))
+        assert gpk.is_full()
+        for i in range(p.n):
+            assert gpk.get_public_key(i) is not None
+        assert gpk.get_public_key(p.n) is None
+
+    def test_custom_secret_variance(self):
+        """tests/keys.rs:431-460: CBD(4) keys bounded by 2*4."""
+        p = make_params(var=4.0)
+        sk = SecretKey.random(p, jax.random.key(3))
+        assert np.abs(sk.secret_coeffs).max() <= 8
+        assert sk.secret_coeffs.var() > 1.0  # clearly wider than ternary
+        sk.validate_coefficient_bounds()  # bound 8 passes for integer var
+
+    def test_mutable_coefficient_access(self):
+        """tests/keys.rs:410-429: mutation invalidates the poly cache."""
+        p = make_params()
+        sk = SecretKey.random(p, jax.random.key(4))
+        before = sk.to_polynomials().residues_np().copy()
+        sk.coefficients_mut()[0, 0] += 1
+        after = sk.to_polynomials().residues_np()
+        assert not np.array_equal(before, after)
+
+    def test_polynomial_conversion_on_demand(self):
+        """tests/keys.rs:364-386: get_polynomial(i) equals row i of the
+        batch conversion."""
+        p = make_params()
+        sk = SecretKey.random(p, jax.random.key(5))
+        row2 = sk.get_polynomial(2)
+        batch = sk.to_polynomials()
+        assert np.array_equal(row2.residues_np(), batch.residues_np()[2])

@@ -254,3 +254,40 @@ class TestSerdeDict:
         p2 = PvwParameters.from_dict(d)
         assert p == p2
         assert p2.delta() == p.delta()
+
+
+class TestMoreReferenceParity:
+    def test_compare_conversion_paths(self):
+        """tests/params.rs:733-767: bigints_to_poly and from_coefficients
+        must agree for small signed values."""
+        from pvw_tpu.poly import Poly
+
+        p = make_params()
+        vals = [5, -3, 0, 100, -100, 1, -1, 7]
+        a = p.bigints_to_poly(vals)
+        b = Poly.from_coefficients(np.array(vals, np.int32), p.ring)
+        assert np.array_equal(a.residues_np(), b.residues_np())
+
+    def test_bigints_to_poly_negative_values(self):
+        """tests/params.rs:551-585: negatives wrap per modulus."""
+        p = make_params()
+        vals = [-1, -(2**40), -(2**100), -5, 0, 0, 0, 0]
+        got = p.bigints_to_poly(vals).residues_np()
+        for li, q in enumerate(MODULI):
+            for ci, v in enumerate(vals):
+                assert int(got[li, ci]) == v % q
+
+    def test_different_parameter_sizes(self):
+        """tests/params.rs:253-274."""
+        for n, k, l in ((2, 8, 8), (5, 16, 16), (3, 8, 32)):
+            p = make_params(n=n, k=k, l=l)
+            assert (p.n, p.k, p.l) == (n, k, l)
+            assert p.t == (n - 1) // 2
+
+    def test_variance_types(self):
+        """tests/params.rs:369-...: non-default variances build fine."""
+        for var in (0.5, 1.0, 4.0, 16.0):
+            p = (PvwParametersBuilder().set_parties(3).set_dimension(4)
+                 .set_l(8).set_moduli(MODULI).set_secret_variance(var)
+                 .set_error_bounds_u32(50, 100).build())
+            assert p.secret_variance == var
