@@ -158,6 +158,8 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
     )
     # encode: m·g in NTT domain via constant Shoup multiply; u64->i64 wrap
     # (encryption.rs:195) corrected by subtracting (2^64 mod q)·g.
+    # (A column-space encode was tried and is bit-identical but slower:
+    # the 15x column tensor costs more HBM traffic than the Shoup ops.)
     enc = modmat.shoup_scale_table(
         (sc_hi, sc_lo), params.gadget_ntt, params.gadget_ntt_shoup, ring
     )                                                            # [d, n, L, l]

@@ -84,13 +84,17 @@ def _fold_kernel_body(tables_ref, lhs_ref, band_ref, out_hi_ref, out_lo_ref):
     out_lo_ref[0] = ol
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def _fused_banded_matmul(lhs_dig, band, tables, tile_m: int, interpret: bool):
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _fused_banded_matmul(lhs_dig, band, tables, tile_m: int, tile_n: int,
+                         interpret: bool):
     """lhs_dig int8 [CH, m, 8k]; band int8 [CH, 15, 8k, n];
-    tables uint32 [CH, 24] -> (hi, lo) uint32 [CH, m, n]."""
+    tables uint32 [CH, 24] -> (hi, lo) uint32 [CH, m, n].
+
+    2-D (m, n) tiling keeps the band block within VMEM for large dealer
+    batches; the lhs tile is reused across the n-tiles of a row."""
     ch, m, kd = lhs_dig.shape
     n = band.shape[3]
-    grid = (ch, m // tile_m)
+    grid = (ch, m // tile_m, n // tile_n)
     out_shape = [
         jax.ShapeDtypeStruct((ch, m, n), jnp.uint32),
         jax.ShapeDtypeStruct((ch, m, n), jnp.uint32),
@@ -100,15 +104,15 @@ def _fused_banded_matmul(lhs_dig, band, tables, tile_m: int, interpret: bool):
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full table, indexed by ch
-            pl.BlockSpec((1, tile_m, kd), lambda c, i: (c, i, 0),
+            pl.BlockSpec((1, tile_m, kd), lambda c, i, j: (c, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, kd, n), lambda c, i: (c, 0, 0, 0),
+            pl.BlockSpec((1, C, kd, tile_n), lambda c, i, j: (c, 0, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile_m, n), lambda c, i: (c, i, 0),
+            pl.BlockSpec((1, tile_m, tile_n), lambda c, i, j: (c, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_m, n), lambda c, i: (c, i, 0),
+            pl.BlockSpec((1, tile_m, tile_n), lambda c, i, j: (c, i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
@@ -144,6 +148,7 @@ def _build_band_cmajor(rd):
 
 
 def matmul_channels_pallas(lhs, rhs, ring: "RingPlan", tile_m: int = 256,
+                           tile_n: int = 128,
                            interpret: bool | None = None):
     """Drop-in fused twin of :func:`pvw_tpu.ops.modmat.matmul_channels`.
 
@@ -158,9 +163,12 @@ def matmul_channels_pallas(lhs, rhs, ring: "RingPlan", tile_m: int = 256,
     tile_m = min(tile_m, m)
     while m % tile_m:
         tile_m //= 2
+    tile_n = min(tile_n, n)
+    while n % tile_n:
+        tile_n //= 2
     ld = digits(lh, ll).reshape(L * S, m, k * D)
     rd = digits(rh, rl).reshape(L * S, k, n, D)
     band = _build_band_cmajor(rd)
     tables = jnp.repeat(jnp.asarray(_pack_tables(ring)), S, axis=0)  # [L*S, 24]
-    oh, ol = _fused_banded_matmul(ld, band, tables, tile_m, interpret)
+    oh, ol = _fused_banded_matmul(ld, band, tables, tile_m, tile_n, interpret)
     return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)

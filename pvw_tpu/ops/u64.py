@@ -252,8 +252,13 @@ MAX_CONTRACTION = 8192
 
 
 def to_signed_digits(hi, lo):
-    """Residue pair (< 2^62) -> 8 balanced signed digits d_i in [-128, 127]
-    with value = Σ d_i * 2^(8i) exactly.
+    """u64 pair -> 8 balanced signed digits d_i in [-128, 127].
+
+    For values < 2^62 (all residues): value = Σ d_i * 2^(8i) exactly.
+    For arbitrary u64 input the final balancing carry is dropped, so the
+    digit sum equals the value interpreted as a SIGNED i64 (mod-2^64 wrap)
+    — deliberately matching Rust's ``as i64`` cast semantics; the gadget
+    encode relies on this (``encryption.rs:195``).
 
     Output shape: input shape + trailing axis of length 8, dtype int8.
     The balanced form lets the digit matmuls run as int8 MXU contractions

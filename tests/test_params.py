@@ -291,3 +291,30 @@ class TestMoreReferenceParity:
                  .set_l(8).set_moduli(MODULI).set_secret_variance(var)
                  .set_error_bounds_u32(50, 100).build())
             assert p.secret_variance == var
+
+
+class TestPresets:
+    def test_all_presets_build(self):
+        from pvw_tpu.params import presets
+
+        small_overrides = {
+            "toy": {}, "vector_k256": {"n": 8},
+            "shares_n1024": {"n": 8}, "pvss_8192": {"n": 8},
+            "secure_128_reference": {},
+        }
+        for name, kw in small_overrides.items():
+            p = presets.get_preset(name, **kw)
+            assert p.verify_correctness_condition(), name
+
+    def test_deep_presets_build(self):
+        from pvw_tpu.params import presets
+
+        p = presets.get_preset("broadcast_128bit", n=4)
+        assert p.q_total().bit_length() >= 1024
+        assert p.verify_correctness_condition()
+
+    def test_unknown_preset(self):
+        from pvw_tpu.params import presets
+
+        with pytest.raises(InvalidParameters, match="unknown preset"):
+            presets.get_preset("nope")
