@@ -56,8 +56,10 @@ def main() -> None:
     )
     from pvw_tpu.crypto.encryption import _encrypt_kernel, _scalars_to_pairs
 
+    from pvw_tpu.utils.profiling import device_summary, span
+
     dev = jax.devices()[0]
-    log(f"device: {dev}")
+    log(f"device: {dev} ({device_summary()})")
 
     b1, b2 = PvwParameters.suggest_error_bounds(
         N_RECEIVERS, K_DIM, ELL, MODULI, 0.5
@@ -71,7 +73,8 @@ def main() -> None:
     key = jax.random.key(0)
 
     t0 = time.time()
-    crs = PvwCrs.new(params, jax.random.fold_in(key, 0))
+    with span("crs_generation", k=K_DIM):
+        crs = PvwCrs.new(params, jax.random.fold_in(key, 0))
     log(f"CRS ({K_DIM}x{K_DIM}) generated in {time.time() - t0:.2f}s")
 
     t0 = time.time()
