@@ -46,6 +46,9 @@ def main() -> None:
     ap.add_argument("--receivers", type=int, default=N_RECEIVERS)
     ap.add_argument("--dimension", type=int, default=K_DIM)
     ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--preset", type=str, default=None,
+                    help="use a named preset from pvw_tpu.params.presets "
+                         "(overrides --receivers/--dimension)")
     args = ap.parse_args()
     N_RECEIVERS, K_DIM, BATCH = args.receivers, args.dimension, args.batch
 
@@ -61,15 +64,23 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"device: {dev} ({device_summary()})")
 
-    b1, b2 = PvwParameters.suggest_error_bounds(
-        N_RECEIVERS, K_DIM, ELL, MODULI, 0.5
-    )
-    params = (
-        PvwParametersBuilder()
-        .set_parties(N_RECEIVERS).set_dimension(K_DIM).set_l(ELL)
-        .set_moduli(MODULI).set_secret_variance(0.5)
-        .set_error_bounds_u32(b1, b2).build()
-    )
+    if args.preset:
+        from pvw_tpu.params import presets
+
+        params = presets.get_preset(args.preset)
+        N_RECEIVERS, K_DIM = params.n, params.k
+        log(f"preset {args.preset}: n={params.n} k={params.k} l={params.l} "
+            f"L={params.ring.num_limbs} qbits={params.q_total().bit_length()}")
+    else:
+        b1, b2 = PvwParameters.suggest_error_bounds(
+            N_RECEIVERS, K_DIM, ELL, MODULI, 0.5
+        )
+        params = (
+            PvwParametersBuilder()
+            .set_parties(N_RECEIVERS).set_dimension(K_DIM).set_l(ELL)
+            .set_moduli(MODULI).set_secret_variance(0.5)
+            .set_error_bounds_u32(b1, b2).build()
+        )
     key = jax.random.key(0)
 
     t0 = time.time()
@@ -85,7 +96,7 @@ def main() -> None:
 
     all_coeffs = np.asarray(sample_vec_cbd(
         jax.random.fold_in(key, 10_000),
-        (N_RECEIVERS, K_DIM, ELL), params.secret_variance,
+        (N_RECEIVERS, K_DIM, params.l), params.secret_variance,
     ))
     sks = [SecretKey(params, all_coeffs[i]) for i in range(N_RECEIVERS)]
     gpk = GlobalPublicKey(crs)
@@ -123,7 +134,7 @@ def main() -> None:
         f"{enc_per_s:.1f} enc/s")
 
     print(json.dumps({
-        "metric": f"encryptions_per_sec_n{N_RECEIVERS}_k{K_DIM}_l{ELL}",
+        "metric": f"encryptions_per_sec_n{N_RECEIVERS}_k{K_DIM}_l{params.l}",
         "value": round(enc_per_s, 2),
         "unit": "encryptions/s",
         "vs_baseline": round(enc_per_s / CPU_BASELINE_ENC_PER_S, 3),

@@ -29,7 +29,7 @@
 
 namespace {
 
-constexpr int MAX_NW = 16;  // up to 1024-bit q
+constexpr int MAX_NW = 18;  // up to 1152-bit q (17x61-bit limbs + margin)
 
 struct Big {
     uint64_t w[MAX_NW + 2];  // little-endian magnitude

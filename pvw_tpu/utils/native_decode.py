@@ -2,7 +2,7 @@
 
 Builds the shared library on first use (g++ -O3 -fopenmp), caches it next
 to the source, and falls back to the exact Python decoder transparently if
-the toolchain or configuration is unsupported (delta >= 2^63, q > 1024
+the toolchain or configuration is unsupported (delta >= 2^63, q > 1152
 bits). Correctness is enforced by differential tests against the Python
 oracle (tests/test_native_decode.py).
 """
@@ -23,7 +23,7 @@ _SRC = os.path.join(_REPO_ROOT, "native", "pvw_decode.cpp")
 _SO = os.path.join(_REPO_ROOT, "native", "libpvw_decode.so")
 _lock = threading.Lock()
 
-MAX_NW = 16
+MAX_NW = 18
 
 
 def _build() -> str | None:

@@ -86,3 +86,29 @@ def test_native_edge_values():
     native = decode_batch_native(res, p)
     python = [decode_scalar_pvw_rns(res[i], p) for i in range(len(rows))]
     assert native == python
+
+
+@needs_native
+def test_native_deep_chain_boundaries():
+    """Support boundary for the native engine: big q is fine (MAX_NW=18)
+    as long as delta < 2^63. The 1024-bit l=8 preset has delta ~ 2^129 ->
+    clean Python fallback; the same chain at l=32 has delta ~ 2^32 ->
+    native, differential-tested."""
+    from pvw_tpu.utils.intmath import generate_ntt_primes
+
+    # l=8: delta = q^(1/8) ~ 2^129 >= 2^63 -> fallback (returns None)
+    moduli8 = generate_ntt_primes(61, 17, 8)
+    p8 = make_params(moduli=moduli8)
+    res8 = np.zeros((2, 17, 8), np.uint64)
+    assert decode_batch_native(res8, p8) is None
+
+    # l=32: delta ~ 2^32 < 2^63 -> native path on a 1037-bit q
+    moduli32 = generate_ntt_primes(61, 17, 32)
+    p32 = make_params(l=32, moduli=moduli32)
+    rng = np.random.default_rng(17)
+    qs = np.array(moduli32, np.uint64).reshape(1, -1, 1)
+    res = (rng.integers(0, 1 << 62, size=(8, 17, 32), dtype=np.uint64) % qs)
+    native = decode_batch_native(res, p32)
+    assert native is not None, "17-limb l=32 chain should be native"
+    python = [decode_scalar_pvw_rns(res[i], p32) for i in range(8)]
+    assert native == python
