@@ -273,17 +273,31 @@ def shoup_scale_table(x, table_w, table_shoup, ring: "RingPlan"):
 
 
 def from_signed_coeffs(coeffs, ring: "RingPlan"):
-    """Small signed integer coefficients [..., l] (int32) -> residue pairs
+    """Signed integer coefficients [..., l] (int32) -> residue pairs
     [..., L, l] in PowerBasis (``Poly::from_coefficients`` semantics:
-    negatives wrap per modulus, ``secret_key.rs:76``)."""
-    c = jnp.asarray(coeffs, jnp.int32)[..., None, :]   # [..., 1, l]
-    neg = c < 0
-    mag = jnp.where(neg, -c, c).astype(u.U32)
-    qh, ql = _q_pair(ring)
-    nh, nl = u.sub64(qh, ql, jnp.zeros_like(mag), mag)
-    zero = mag == 0
-    hi = jnp.where(neg & ~zero, nh, jnp.zeros_like(mag))
-    lo = jnp.where(neg & ~zero, nl, jnp.where(neg, 0, mag))
-    hi = jnp.broadcast_to(hi, c.shape[:-2] + (ring.num_limbs, ring.degree))
-    lo = jnp.broadcast_to(lo, c.shape[:-2] + (ring.num_limbs, ring.degree))
+    negatives wrap per modulus, ``secret_key.rs:76``).
+
+    Exact for the full int32 range: limbs with q <= 2^31 reduce with an
+    int32 floored remainder first; larger limbs embed |c| < 2^31 < q
+    directly (one conditional q - |c|)."""
+    c = jnp.asarray(coeffs, jnp.int32)                  # [..., l]
+    his, los = [], []
+    for i, q in enumerate(ring.moduli):
+        if q <= 0x7FFFFFFF:  # q fits int32; primes are odd so q != 2^31
+            # jnp.remainder is floored: result in [0, q) for any int32 c
+            r = jnp.remainder(c, jnp.int32(q)).astype(u.U32)
+            his.append(jnp.zeros_like(r))
+            los.append(r)
+        else:
+            neg = c < 0
+            mag = jnp.where(neg, -c, c).astype(u.U32)
+            qh, ql = u.const_pair(q)
+            nh, nl = u.sub64(jnp.full_like(mag, qh), jnp.full_like(mag, ql),
+                             jnp.zeros_like(mag), mag)
+            zero = mag == 0
+            his.append(jnp.where(neg & ~zero, nh, jnp.zeros_like(mag)))
+            los.append(jnp.where(neg & ~zero, nl, jnp.where(neg, 0, mag))
+                       .astype(u.U32))
+    hi = jnp.stack(his, axis=-2)                        # [..., L, l]
+    lo = jnp.stack(los, axis=-2)
     return hi.astype(u.U32), lo.astype(u.U32)

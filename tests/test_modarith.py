@@ -213,3 +213,19 @@ class TestMatmul:
         oh, ol = f(*pairs(a), *pairs(b))
         want = (a.astype(object) * b.astype(object)) % qs.astype(object)
         np.testing.assert_array_equal(ints(oh, ol).astype(object), want)
+
+
+class TestFromSignedCoeffsRange:
+    def test_small_prime_large_coeffs(self):
+        """Coefficients larger than a small modulus must reduce correctly
+        (the reference's from_coefficients wraps mod each q_i for any i64)."""
+        ring = RingPlan((12289, 0xFFFFC4001), 8)  # 14-bit NTT prime + big one
+        coeffs = np.array(
+            [[-(2**31), 2**31 - 1, 40000, -40000, 12289, -12289, 1, 0]],
+            np.int64,
+        ).astype(np.int32)
+        hi, lo = modmat.from_signed_coeffs(jnp.asarray(coeffs), ring)
+        got = ints(hi, lo)
+        for li, q in enumerate(ring.moduli):
+            for ci in range(8):
+                assert int(got[0, li, ci]) == int(coeffs[0, ci]) % q, (li, ci)
