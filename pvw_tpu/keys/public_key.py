@@ -27,27 +27,31 @@ from .secret_key import SecretKey
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _batch_keygen_kernel(params: PvwParameters, a_hi, a_lo, coeffs, key):
-    """All-party public keys in one compiled program:
+def _batch_keygen_kernel(params: PvwParameters, a_hi, a_lo, coeffs, key,
+                         row_offset):
+    """Public keys for a BLOCK of parties in one compiled program:
     b[p, i] = sum_j sk[p, j] * A[j, i] + e1[p, i].
 
-    coeffs: int32 [p, k, l] CBD secrets; A: [k, k, L, l] NTT.
-    Returns (hi, lo) [p, k, L, l]. The s^T A columns and the NTT(e1)
-    columns are accumulated in int32 column space and folded once (same
-    fusion as the encryption kernel).
+    coeffs: int32 [p, k, l] CBD secrets for parties
+    [row_offset, row_offset + p); A: [k, k, L, l] NTT. Returns (hi, lo)
+    [p, k, L, l]. e1 rows are keyed by GLOBAL party index (stream v2), so
+    chunking over parties is value-identical to one big call. The s^T A
+    columns and the NTT(e1) columns are accumulated in int32 column space
+    and folded once; the column producer auto-selects banded vs standard
+    by memory (the k x k band exceeds HBM for large k*L*l).
     """
     ring = params.ring
     L, l, k = ring.num_limbs, ring.degree, params.k
     p = coeffs.shape[0]
     sk_ntt = ntt_ops.ntt_forward(modmat.from_signed_coeffs(coeffs, ring), ring)
     to_ch = lambda x: jnp.transpose(x, (2, 3, 0, 1))
-    cols_ska = modmat.banded_cols(
+    cols_ska = modmat.matmul_cols(
         (to_ch(sk_ntt[0]), to_ch(sk_ntt[1])),
         (to_ch(a_hi), to_ch(a_lo)),
         ring,
     )                                                  # [L, l, p, k, 15]
     e1_hi, e1_lo = sample_uniform_residues_rows(
-        key, 0, p, (k, l), params.error_bound_1, ring
+        key, row_offset, p, (k, l), params.error_bound_1, ring
     )
     cols_e1, _ = ntt_ops.ntt_forward_cols((e1_hi, e1_lo), ring)
     bh, bl = modmat._fold_leading(
@@ -55,6 +59,14 @@ def _batch_keygen_kernel(params: PvwParameters, a_hi, a_lo, coeffs, key):
     )
     back = lambda x: jnp.transpose(x, (2, 3, 0, 1))    # -> [p, k, L, l]
     return back(bh), back(bl)
+
+
+def _keygen_chunk_size(params: PvwParameters) -> int:
+    """Parties per kernel call so the dominant intermediate (standard-path
+    [8p, 8k] int32 product or banded cols) stays within the budget."""
+    S = params.ring.num_limbs * params.ring.degree
+    per_party = 256 * params.k * S          # standard-path P bytes/party
+    return max(8, min(4096, modmat.COLS_BYTES_BUDGET // max(per_party, 1)))
 
 
 class Party:
@@ -236,10 +248,26 @@ class GlobalPublicKey:
         params = self.params
         coeffs = np.stack([sk.secret_coeffs for sk in secret_keys])
         if params.error_bound_1 < min(params.ring.moduli):
-            bh, bl = _batch_keygen_kernel(
-                params, self.crs.matrix.hi, self.crs.matrix.lo,
-                jnp.asarray(coeffs), key,
-            )
+            chunk = _keygen_chunk_size(params)
+            p_total = coeffs.shape[0]
+            if p_total <= chunk:
+                bh, bl = _batch_keygen_kernel(
+                    params, self.crs.matrix.hi, self.crs.matrix.lo,
+                    jnp.asarray(coeffs), key, 0,
+                )
+            else:
+                # chunk over parties; stream v2 keeps values identical
+                parts_h, parts_l = [], []
+                for start in range(0, p_total, chunk):
+                    block = jnp.asarray(coeffs[start : start + chunk])
+                    h, lo_ = _batch_keygen_kernel(
+                        params, self.crs.matrix.hi, self.crs.matrix.lo,
+                        block, key, start,
+                    )
+                    parts_h.append(h)
+                    parts_l.append(lo_)
+                bh = jnp.concatenate(parts_h, axis=0)
+                bl = jnp.concatenate(parts_l, axis=0)
         else:
             # huge-bound host sampling path (device kernel requires
             # bound < min modulus)

@@ -159,6 +159,45 @@ def banded_cols(lhs, rhs, ring: "RingPlan"):
     return jnp.transpose(p.reshape(L, S, m, C, n), (0, 1, 2, 4, 3))
 
 
+def standard_cols(lhs, rhs, ring: "RingPlan"):
+    """Unfolded convolution columns via the 8x8 digit-product form:
+    int32 [L, S, m, n, 15]. Same output as :func:`banded_cols`; the
+    intermediate is 64x the output instead of a 15x-blown rhs band — the
+    right trade when the rhs is LARGE (e.g. the k x k CRS in keygen,
+    where the band alone can exceed HBM)."""
+    (lh, ll), (rh, rl) = lhs, rhs
+    L, S, m, k = lh.shape
+    n = rh.shape[-1]
+    if k > MAX_CONTRACTION:
+        raise ValueError(f"contraction {k} exceeds int32 headroom {MAX_CONTRACTION}")
+    ld = digits(lh, ll)
+    rd = digits(rh, rl)
+    l2 = jnp.transpose(ld, (0, 1, 4, 2, 3)).reshape(L, S, D * m, k)
+    r2 = jnp.transpose(rd, (0, 1, 2, 4, 3)).reshape(L, S, k, D * n)
+    p = jax.lax.dot_general(
+        l2, r2,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32,
+    )
+    return _column_sums(p.reshape(L, S, D, m, D, n))
+
+
+# HBM budget for a single intermediate tensor in the auto column path.
+COLS_BYTES_BUDGET = 2 * 1024**3
+
+
+def matmul_cols(lhs, rhs, ring: "RingPlan"):
+    """Memory-aware column producer: banded when the 15x rhs band fits the
+    budget, otherwise the standard 64-product form (whose [8m, 8n] int32
+    intermediate the caller should keep bounded by chunking m)."""
+    L, S, m, k = lhs[0].shape
+    n = rhs[0].shape[-1]
+    band_bytes = L * S * k * D * C * n            # int8 band
+    if band_bytes <= COLS_BYTES_BUDGET:
+        return banded_cols(lhs, rhs, ring)
+    return standard_cols(lhs, rhs, ring)
+
+
 def matmul_channels_banded(lhs, rhs, ring: "RingPlan"):
     """Band-structured variant of :func:`matmul_channels`.
 
