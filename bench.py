@@ -31,7 +31,9 @@ N_RECEIVERS = 4096
 K_DIM = 256
 ELL = 8
 MODULI = (0xFFFFC4001, 0x1FFFFE0001)
-BATCH = 256
+# Batch 512 is the measured-best dispatch size on v5e; 256 trips a
+# pathologically slow XLA schedule for this shape (observed 15x slower).
+BATCH = 512
 
 
 def log(*a):

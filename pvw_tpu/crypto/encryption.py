@@ -110,7 +110,7 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
     """
     ring = params.ring
     k, n, l = params.k, params.n, params.l
-    L = ring.num_limbs
+    L, C = ring.num_limbs, ring.num_columns
     d = sc_hi.shape[0]
     k_r, k_e1, k_e2 = jax.random.split(key, 3)
 
@@ -129,32 +129,32 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
     # Column-space accumulation: fold is linear, so A·r + NTT(e1) (and
     # B·r + NTT(e2)) are summed as int32 digit-convolution columns and
     # folded ONCE — halving the VPU fold work vs fold-then-addmod.
-    # Magnitudes: matmul cols <= k*2^17, NTT cols <= 8l*2^14 — well inside
-    # int32 for k <= MAX_CONTRACTION.
+    # Magnitudes: matmul cols <= k*nd*2^14, NTT cols <= nd*l*2^14 — well
+    # inside int32 for k <= MAX_CONTRACTION.
 
     # c1 = A·r + e1                                      (encryption.rs:156-173)
     cols_ar = modmat.banded_cols(
         (to_channels(a_hi), to_channels(a_lo)), r_ch, ring
-    )                                                           # [L,l,k,d,15]
+    )                                                           # [L,l,k,d,C]
     e1_hi, e1_lo = sample_uniform_residues_rows(
         k_e1, 0, k, (d, l), params.error_bound_1, ring
     )
-    cols_e1, _ = ntt_ops.ntt_forward_cols((e1_hi, e1_lo), ring)  # [L,l,k*d,15]
+    cols_e1, _ = ntt_ops.ntt_forward_cols((e1_hi, e1_lo), ring)  # [L,l,k*d,C]
     c1h, c1l = modmat._fold_leading(
-        cols_ar + cols_e1.reshape(L, l, k, d, 15), ring
+        cols_ar + cols_e1.reshape(L, l, k, d, C), ring
     )
     c1 = (from_channels(c1h), from_channels(c1l))                # [k, d, L, l]
 
     # c2 = B·r + encode(scalars) + e2                    (encryption.rs:175-200)
     cols_br = modmat.banded_cols(
         (to_channels(b_hi), to_channels(b_lo)), r_ch, ring
-    )                                                           # [L,l,n,d,15]
+    )                                                           # [L,l,n,d,C]
     e2_hi, e2_lo = sample_uniform_residues_rows(
         k_e2, 0, n, (d, l), params.error_bound_2, ring
     )
     cols_e2, _ = ntt_ops.ntt_forward_cols((e2_hi, e2_lo), ring)
     c2h, c2l = modmat._fold_leading(
-        cols_br + cols_e2.reshape(L, l, n, d, 15), ring
+        cols_br + cols_e2.reshape(L, l, n, d, C), ring
     )
     # encode: m·g in NTT domain via constant Shoup multiply; u64->i64 wrap
     # (encryption.rs:195) corrected by subtracting (2^64 mod q)·g.

@@ -42,6 +42,7 @@ def _batch_keygen_kernel(params: PvwParameters, a_hi, a_lo, coeffs, key,
     """
     ring = params.ring
     L, l, k = ring.num_limbs, ring.degree, params.k
+    C = ring.num_columns
     p = coeffs.shape[0]
     sk_ntt = ntt_ops.ntt_forward(modmat.from_signed_coeffs(coeffs, ring), ring)
     to_ch = lambda x: jnp.transpose(x, (2, 3, 0, 1))
@@ -49,13 +50,13 @@ def _batch_keygen_kernel(params: PvwParameters, a_hi, a_lo, coeffs, key,
         (to_ch(sk_ntt[0]), to_ch(sk_ntt[1])),
         (to_ch(a_hi), to_ch(a_lo)),
         ring,
-    )                                                  # [L, l, p, k, 15]
+    )                                                  # [L, l, p, k, C]
     e1_hi, e1_lo = sample_uniform_residues_rows(
         key, row_offset, p, (k, l), params.error_bound_1, ring
     )
     cols_e1, _ = ntt_ops.ntt_forward_cols((e1_hi, e1_lo), ring)
     bh, bl = modmat._fold_leading(
-        cols_ska + cols_e1.reshape(L, l, p, k, 15), ring
+        cols_ska + cols_e1.reshape(L, l, p, k, C), ring
     )
     back = lambda x: jnp.transpose(x, (2, 3, 0, 1))    # -> [p, k, L, l]
     return back(bh), back(bl)

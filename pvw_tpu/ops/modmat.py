@@ -36,7 +36,7 @@ from .u64 import MAX_CONTRACTION
 if TYPE_CHECKING:  # params.ring imports ops; avoid a runtime cycle
     from ..params.ring import RingPlan
 
-D = u.NUM_DIGITS          # 8
+D = u.NUM_DIGITS          # 8 (maximum; rings carry their own num_digits)
 C = u.NUM_COLUMNS         # 15
 
 
@@ -44,20 +44,20 @@ C = u.NUM_COLUMNS         # 15
 # digit helpers
 # --------------------------------------------------------------------------
 
-def digits(hi, lo):
-    """Pair [...]-shaped residues -> int8 digits [..., 8]."""
-    return u.to_signed_digits(hi, lo)
+def digits(hi, lo, nd: int = D):
+    """Pair [...]-shaped residues -> int8 digits [..., nd]."""
+    return u.to_signed_digits(hi, lo, nd)
 
 
-def _column_sums(p6):
-    """P [..., 8(i), m, 8(j), n] int32 -> columns [..., m, n, 15] int32.
+def _column_sums(p6, nd: int = D):
+    """P [..., nd(i), m, nd(j), n] int32 -> columns [..., m, n, 2nd-1] int32.
 
     cols[c] = sum_{i+j=c} P[i, :, j, :].
     """
     outs = []
-    for c in range(C):
-        lo_i = max(0, c - (D - 1))
-        hi_i = min(D - 1, c)
+    for c in range(2 * nd - 1):
+        lo_i = max(0, c - (nd - 1))
+        hi_i = min(nd - 1, c)
         acc = None
         for i in range(lo_i, hi_i + 1):
             term = p6[..., i, :, c - i, :]
@@ -112,20 +112,21 @@ def matmul_channels(lhs, rhs, ring: "RingPlan"):
     (lh, ll), (rh, rl) = lhs, rhs
     L, S, m, k = lh.shape
     n = rh.shape[-1]
+    nd = ring.num_digits
     if k > MAX_CONTRACTION:
         raise ValueError(f"contraction {k} exceeds int32 headroom {MAX_CONTRACTION}")
-    ld = digits(lh, ll)                       # [L, S, m, k, 8]
-    rd = digits(rh, rl)                       # [L, S, k, n, 8]
-    l2 = jnp.transpose(ld, (0, 1, 4, 2, 3)).reshape(L, S, D * m, k)
-    r2 = jnp.transpose(rd, (0, 1, 2, 4, 3)).reshape(L, S, k, D * n)
+    ld = digits(lh, ll, nd)                   # [L, S, m, k, nd]
+    rd = digits(rh, rl, nd)                   # [L, S, k, n, nd]
+    l2 = jnp.transpose(ld, (0, 1, 4, 2, 3)).reshape(L, S, nd * m, k)
+    r2 = jnp.transpose(rd, (0, 1, 2, 4, 3)).reshape(L, S, k, nd * n)
     p = jax.lax.dot_general(
         l2,
         r2,
         dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.int32,
-    )                                          # [L, S, 8m, 8n]
-    p6 = p.reshape(L, S, D, m, D, n)
-    cols = _column_sums(p6)                    # [L, S, m, n, 15]
+    )                                          # [L, S, nd*m, nd*n]
+    p6 = p.reshape(L, S, nd, m, nd, n)
+    cols = _column_sums(p6, nd)                # [L, S, m, n, 2nd-1]
     return _fold_leading(cols, ring)           # pair [L, S, m, n]
 
 
@@ -141,22 +142,23 @@ def banded_cols(lhs, rhs, ring: "RingPlan"):
     (lh, ll), (rh, rl) = lhs, rhs
     L, S, m, k = lh.shape
     n = rh.shape[-1]
+    nd, nc = ring.num_digits, ring.num_columns
     if k > MAX_CONTRACTION:
         raise ValueError(f"contraction {k} exceeds int32 headroom {MAX_CONTRACTION}")
-    ld = digits(lh, ll)                       # [L, S, m, k, 8]
-    rd = digits(rh, rl)                       # [L, S, k, n, 8]
-    l2 = ld.reshape(L, S, m, k * D)           # (k-major, digit-minor)
-    band = jnp.zeros((L, S, k, D, C, n), jnp.int8)
-    rdt = jnp.transpose(rd, (0, 1, 2, 4, 3))  # [L, S, k, 8(j), n]
-    for i in range(D):
-        band = band.at[:, :, :, i, i : i + D, :].set(rdt)
-    r2 = band.reshape(L, S, k * D, C * n)
+    ld = digits(lh, ll, nd)                   # [L, S, m, k, nd]
+    rd = digits(rh, rl, nd)                   # [L, S, k, n, nd]
+    l2 = ld.reshape(L, S, m, k * nd)          # (k-major, digit-minor)
+    band = jnp.zeros((L, S, k, nd, nc, n), jnp.int8)
+    rdt = jnp.transpose(rd, (0, 1, 2, 4, 3))  # [L, S, k, nd(j), n]
+    for i in range(nd):
+        band = band.at[:, :, :, i, i : i + nd, :].set(rdt)
+    r2 = band.reshape(L, S, k * nd, nc * n)
     p = jax.lax.dot_general(
         l2, r2,
         dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.int32,
-    )                                          # [L, S, m, 15n]
-    return jnp.transpose(p.reshape(L, S, m, C, n), (0, 1, 2, 4, 3))
+    )                                          # [L, S, m, nc*n]
+    return jnp.transpose(p.reshape(L, S, m, nc, n), (0, 1, 2, 4, 3))
 
 
 def standard_cols(lhs, rhs, ring: "RingPlan"):
@@ -168,18 +170,19 @@ def standard_cols(lhs, rhs, ring: "RingPlan"):
     (lh, ll), (rh, rl) = lhs, rhs
     L, S, m, k = lh.shape
     n = rh.shape[-1]
+    nd = ring.num_digits
     if k > MAX_CONTRACTION:
         raise ValueError(f"contraction {k} exceeds int32 headroom {MAX_CONTRACTION}")
-    ld = digits(lh, ll)
-    rd = digits(rh, rl)
-    l2 = jnp.transpose(ld, (0, 1, 4, 2, 3)).reshape(L, S, D * m, k)
-    r2 = jnp.transpose(rd, (0, 1, 2, 4, 3)).reshape(L, S, k, D * n)
+    ld = digits(lh, ll, nd)
+    rd = digits(rh, rl, nd)
+    l2 = jnp.transpose(ld, (0, 1, 4, 2, 3)).reshape(L, S, nd * m, k)
+    r2 = jnp.transpose(rd, (0, 1, 2, 4, 3)).reshape(L, S, k, nd * n)
     p = jax.lax.dot_general(
         l2, r2,
         dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.int32,
     )
-    return _column_sums(p.reshape(L, S, D, m, D, n))
+    return _column_sums(p.reshape(L, S, nd, m, nd, n), nd)
 
 
 # HBM budget for a single intermediate tensor in the auto column path.
@@ -192,7 +195,7 @@ def matmul_cols(lhs, rhs, ring: "RingPlan"):
     intermediate the caller should keep bounded by chunking m)."""
     L, S, m, k = lhs[0].shape
     n = rhs[0].shape[-1]
-    band_bytes = L * S * k * D * C * n            # int8 band
+    band_bytes = L * S * k * ring.num_digits * ring.num_columns * n  # int8 band
     if band_bytes <= COLS_BYTES_BUDGET:
         return banded_cols(lhs, rhs, ring)
     return standard_cols(lhs, rhs, ring)
@@ -276,19 +279,20 @@ def poly_pointwise_mul(a, b, ring: "RingPlan"):
     Digit outer products (64 int32 mults) + fold; used for the public
     ``Poly * Poly`` API op where no contraction amortizes the digits.
     """
-    da = digits(*a).astype(jnp.int32)          # [..., L, l, 8]
-    db = digits(*b).astype(jnp.int32)
-    p = da[..., :, None] * db[..., None, :]    # [..., L, l, 8, 8]
+    nd = ring.num_digits
+    da = digits(*a, nd).astype(jnp.int32)      # [..., L, l, nd]
+    db = digits(*b, nd).astype(jnp.int32)
+    p = da[..., :, None] * db[..., None, :]    # [..., L, l, nd, nd]
     outs = []
-    for c in range(C):
-        lo_i = max(0, c - (D - 1))
-        hi_i = min(D - 1, c)
+    for c in range(ring.num_columns):
+        lo_i = max(0, c - (nd - 1))
+        hi_i = min(nd - 1, c)
         acc = None
         for i in range(lo_i, hi_i + 1):
             term = p[..., i, c - i]
             acc = term if acc is None else acc + term
         outs.append(acc)
-    cols = jnp.stack(outs, axis=-1)            # [..., L, l, 15]
+    cols = jnp.stack(outs, axis=-1)            # [..., L, l, 2nd-1]
     return _fold_trailing(cols, ring)
 
 

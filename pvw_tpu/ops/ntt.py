@@ -26,45 +26,45 @@ import jax.numpy as jnp
 from typing import TYPE_CHECKING
 
 from . import u64 as u
-from .modmat import D, _fold_leading, digits
+from .modmat import _fold_leading, digits
 
 if TYPE_CHECKING:  # avoid runtime import cycle with params.ring
     from ..params.ring import RingPlan
 
 
 def _matrix_cols(x, band, ring: "RingPlan"):
-    """x: pair [..., L, l]; band: int8 numpy [L, 15l, 8l] (lhs-banded
-    twiddles, see RingPlan) -> unfolded columns int32 [L, l, B, 15] plus
-    the original batch shape.
+    """x: pair [..., L, l]; band: int8 numpy [L, C*l, nd*l] (lhs-banded
+    twiddles, see RingPlan) -> unfolded columns int32 [L, l, B, C] plus
+    the original batch shape (C = ring.num_columns).
 
-    One int8 matmul per limb yields the 15 digit-convolution columns
-    directly; column magnitude <= 8l * 2^14 <= 2^22.
+    One int8 matmul per limb yields the C digit-convolution columns
+    directly; column magnitude <= nd*l * 2^14 <= 2^22.
     """
     xh, xl = x
     batch_shape = xh.shape[:-2]
     L, l = ring.num_limbs, ring.degree
-    C = 2 * D - 1
+    nd, C = ring.num_digits, ring.num_columns
     b = 1
     for s in batch_shape:
         b *= s
     # [..., L, l] -> [L, l(i), B]
     xh2 = jnp.moveaxis(xh.reshape(b, L, l), 0, -1)
     xl2 = jnp.moveaxis(xl.reshape(b, L, l), 0, -1)
-    xd = digits(xh2, xl2)                                  # [L, l(i), B, 8]
-    rhs = jnp.transpose(xd, (0, 1, 3, 2)).reshape(L, l * D, b)
+    xd = digits(xh2, xl2, nd)                              # [L, l(i), B, nd]
+    rhs = jnp.transpose(xd, (0, 1, 3, 2)).reshape(L, l * nd, b)
     p = jax.lax.dot_general(
         jnp.asarray(band),
         rhs,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.int32,
-    )                                                      # [L, 15l, B]
-    cols = jnp.transpose(p.reshape(L, C, l, b), (0, 2, 3, 1))  # [L, l, B, 15]
+    )                                                      # [L, C*l, B]
+    cols = jnp.transpose(p.reshape(L, C, l, b), (0, 2, 3, 1))  # [L, l, B, C]
     return cols, batch_shape
 
 
 def ntt_forward_cols(x, ring: "RingPlan"):
     """Forward NTT as unfolded columns (for column-space accumulation in
-    the encryption kernel): returns (cols [L, l, B, 15], batch_shape)."""
+    the encryption kernel): returns (cols [L, l, B, C], batch_shape)."""
     return _matrix_cols(x, ring.ntt_fwd_band, ring)
 
 

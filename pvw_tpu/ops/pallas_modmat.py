@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import u64 as u
-from .modmat import C, D, digits
+from .modmat import digits
 
 if TYPE_CHECKING:
     from ..params.ring import RingPlan
@@ -48,6 +48,7 @@ def _fold_kernel_body(tables_ref, lhs_ref, band_ref, out_hi_ref, out_lo_ref):
     """
     tm = lhs_ref.shape[1]
     n = out_hi_ref.shape[2]
+    C = band_ref.shape[1]
     ch = pl.program_id(0)
     t = tables_ref
     qh, ql = t[ch, 18], t[ch, 19]
@@ -94,6 +95,7 @@ def _fused_banded_matmul(lhs_dig, band, tables, tile_m: int, tile_n: int,
     batches; the lhs tile is reused across the n-tiles of a row."""
     ch, m, kd = lhs_dig.shape
     n = band.shape[3]
+    C = band.shape[1]
     grid = (ch, m // tile_m, n // tile_n)
     out_shape = [
         jax.ShapeDtypeStruct((ch, m, n), jnp.uint32),
@@ -136,15 +138,16 @@ def _pack_tables(ring: "RingPlan") -> np.ndarray:
 
 
 def _build_band_cmajor(rd):
-    """rhs digits [CH, k, n, 8] int8 -> banded [CH, 15, 8k, n] int8
+    """rhs digits [CH, k, n, nd] int8 -> banded [CH, 2nd-1, nd*k, n] int8
     (column index leading so the kernel slices it without lane reshapes)."""
-    chn, k, n, _ = rd.shape
-    rdt = jnp.transpose(rd, (0, 1, 3, 2))            # [CH, k, 8, n]
-    band = jnp.zeros((chn, k, D, C, n), jnp.int8)
-    for i in range(D):
-        band = band.at[:, :, i, i : i + D, :].set(rdt)
-    # [CH, k, D, C, n] -> [CH, C, k*D, n]
-    return jnp.transpose(band, (0, 3, 1, 2, 4)).reshape(chn, C, k * D, n)
+    chn, k, n, nd = rd.shape
+    C = 2 * nd - 1
+    rdt = jnp.transpose(rd, (0, 1, 3, 2))            # [CH, k, nd, n]
+    band = jnp.zeros((chn, k, nd, C, n), jnp.int8)
+    for i in range(nd):
+        band = band.at[:, :, i, i : i + nd, :].set(rdt)
+    # [CH, k, nd, C, n] -> [CH, C, k*nd, n]
+    return jnp.transpose(band, (0, 3, 1, 2, 4)).reshape(chn, C, k * nd, n)
 
 
 def matmul_channels_pallas(lhs, rhs, ring: "RingPlan", tile_m: int = 256,
@@ -166,8 +169,9 @@ def matmul_channels_pallas(lhs, rhs, ring: "RingPlan", tile_m: int = 256,
     tile_n = min(tile_n, n)
     while n % tile_n:
         tile_n //= 2
-    ld = digits(lh, ll).reshape(L * S, m, k * D)
-    rd = digits(rh, rl).reshape(L * S, k, n, D)
+    nd = ring.num_digits
+    ld = digits(lh, ll, nd).reshape(L * S, m, k * nd)
+    rd = digits(rh, rl, nd).reshape(L * S, k, n, nd)
     band = _build_band_cmajor(rd)
     tables = jnp.repeat(jnp.asarray(_pack_tables(ring)), S, axis=0)  # [L*S, 24]
     oh, ol = _fused_banded_matmul(ld, band, tables, tile_m, tile_n, interpret)

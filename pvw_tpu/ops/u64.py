@@ -251,16 +251,37 @@ NUM_COLUMNS = 2 * NUM_DIGITS - 1  # 15 convolution columns
 MAX_CONTRACTION = 8192
 
 
-def to_signed_digits(hi, lo):
-    """u64 pair -> 8 balanced signed digits d_i in [-128, 127].
+def digits_for_max(value: int) -> int:
+    """Minimal digit count nd such that :func:`to_signed_digits` is exact
+    for every input <= ``value``.
 
-    For values < 2^62 (all residues): value = Σ d_i * 2^(8i) exactly.
-    For arbitrary u64 input the final balancing carry is dropped, so the
-    digit sum equals the value interpreted as a SIGNED i64 (mod-2^64 wrap)
-    — deliberately matching Rust's ``as i64`` cast semantics; the gadget
-    encode relies on this (``encryption.rs:195``).
+    Exactness requires the final balancing carry to vanish: the top raw
+    digit plus an incoming carry must stay < 128, i.e.
+    ``value >> (8*(nd-1)) <= 126``. A 37-bit prime chain needs only 5
+    digits (9 convolution columns) — 2.7x fewer MXU MACs than the full
+    8-digit form; 55-bit and larger primes still need all 8.
+    """
+    value = int(value)
+    if not 0 <= value < 1 << 64:
+        raise ValueError(f"{value} out of u64 range")
+    nd = 1
+    while (value >> (8 * (nd - 1))) > 126:
+        nd += 1
+    return min(nd, NUM_DIGITS)
 
-    Output shape: input shape + trailing axis of length 8, dtype int8.
+
+def to_signed_digits(hi, lo, nd: int = NUM_DIGITS):
+    """u64 pair -> ``nd`` balanced signed digits d_i in [-128, 127].
+
+    Exact (value = Σ d_i * 2^(8i)) whenever value >> (8*(nd-1)) <= 126 —
+    see :func:`digits_for_max`; with the default nd=8 this covers all
+    values < 2^62 (every RNS residue). For arbitrary u64 input at nd=8 the
+    final balancing carry is dropped, so the digit sum equals the value
+    interpreted as a SIGNED i64 (mod-2^64 wrap) — deliberately matching
+    Rust's ``as i64`` cast semantics; the gadget encode relies on this
+    (``encryption.rs:195``).
+
+    Output shape: input shape + trailing axis of length ``nd``, dtype int8.
     The balanced form lets the digit matmuls run as int8 MXU contractions
     with int32 accumulators and no zero-point correction terms.
     """
@@ -273,13 +294,13 @@ def to_signed_digits(hi, lo):
     # Balance: propagate +1 carries left when a digit >= 128.
     out = []
     carry = jnp.zeros_like(raw[0])
-    for i in range(NUM_DIGITS):
+    for i in range(nd):
         v = raw[i] + carry              # <= 256
         big = v >= 128
         out.append(jnp.where(big, v - 256, v).astype(jnp.int8))
         carry = big.astype(jnp.int32)
-    # For values < 2^62 the top digit is <= 63 (+carry), so no overflow:
-    # the final carry is provably zero.
+    # For in-range values (see digits_for_max) the top digit is <= 127
+    # after the carry, so the final carry is provably zero.
     return jnp.stack(out, axis=-1)
 
 
@@ -306,12 +327,13 @@ def fold_columns_grouped(cols, grp_wh, grp_wl, grp_sh, grp_sl, bias_h, bias_l,
     shape = cols.shape[:-1]
     acc_h = jnp.zeros(shape, U32)
     acc_l = jnp.zeros(shape, U32)
-    for g in range(4):
+    num_cols = cols.shape[-1]
+    for g in range((num_cols + 3) // 4):
         gh = jnp.zeros(shape, U32)
         gl = jnp.zeros(shape, U32)
         for r in range(4):
             c = 4 * g + r
-            if c >= cols.shape[-1]:
+            if c >= num_cols:
                 break
             uc = (cols[..., c] + jnp.int32(-0x80000000)).astype(U32)  # +2^31
             if r == 0:

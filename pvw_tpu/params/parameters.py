@@ -132,11 +132,11 @@ class PvwParameters:
         self.gadget_ntt_shoup = g_ntt_sh
         self.gadget_wrap = g_wrap
         self.gadget_wrap_shoup = g_wrap_sh
-        # signed 8-digit decomposition of the NTT gadget residues, for the
-        # column-space encode (see crypto/encryption.py): int8 [L, l, 8]
+        # signed digit decomposition of the NTT gadget residues, for the
+        # column-space encode (see crypto/encryption.py): int8 [L, l, nd]
         from .ring import _digits_np
 
-        self.gadget_ntt_dig = _digits_np(g_ntt)
+        self.gadget_ntt_dig = _digits_np(g_ntt, self.ring.num_digits)
 
     # -- cached values ---------------------------------------------------
 

@@ -37,26 +37,27 @@ from ..ops.u64 import MAX_CONTRACTION  # noqa: F401 (re-export)
 MIN_DEGREE = 8
 
 
-def _digits_np(values: np.ndarray) -> np.ndarray:
-    """Host-side signed 8-digit decomposition of uint64 values (< 2^62).
+def _digits_np(values: np.ndarray, nd: int = 8) -> np.ndarray:
+    """Host-side signed digit decomposition of uint64 values.
 
     Mirrors :func:`pvw_tpu.ops.u64.to_signed_digits` exactly; returns int8
-    with a trailing axis of length 8.
+    with a trailing axis of length ``nd``. Exact iff every value
+    satisfies ``value >> (8*(nd-1)) <= 126`` (checked).
     """
     v = values.astype(np.uint64)
     raw = np.stack(
-        [((v >> np.uint64(8 * i)) & np.uint64(0xFF)).astype(np.int32) for i in range(8)],
+        [((v >> np.uint64(8 * i)) & np.uint64(0xFF)).astype(np.int32) for i in range(nd)],
         axis=-1,
     )
     out = np.zeros_like(raw)
     carry = np.zeros(v.shape, np.int32)
-    for i in range(8):
+    for i in range(nd):
         t = raw[..., i] + carry
         big = t >= 128
         out[..., i] = np.where(big, t - 256, t)
         carry = big.astype(np.int32)
-    if np.any(carry):
-        raise ValueError("digit decomposition overflow: value >= 2^62?")
+    if np.any(carry) or np.any((v >> np.uint64(8 * (nd - 1))) > np.uint64(126)):
+        raise ValueError(f"digit decomposition overflow for nd={nd}")
     return out.astype(np.int8)
 
 
@@ -115,25 +116,46 @@ class RingPlan:
         self.num_limbs = len(moduli)
         self.crt = CrtBasis(moduli)
         self.q_total = self.crt.q
+        # Per-ring digit width: a 37-bit prime chain needs only 5 signed
+        # 8-bit digits (9 convolution columns) instead of the full 8/15 —
+        # 2.7x fewer MXU MACs in every matmul of the scheme. All limbs
+        # share one width so digit tensors stack along the limb axis.
+        # PVW_NUM_DIGITS overrides (>= the minimal width; perf experiments).
+        self.num_digits = max(u64op.digits_for_max(q - 1) for q in moduli)
+        import os
+
+        forced = os.environ.get("PVW_NUM_DIGITS")
+        if forced:
+            forced = int(forced)
+            if forced < self.num_digits or forced > u64op.NUM_DIGITS:
+                raise InvalidParameters(
+                    f"PVW_NUM_DIGITS={forced} outside "
+                    f"[{self.num_digits}, {u64op.NUM_DIGITS}]"
+                )
+            self.num_digits = forced
+        self.num_columns = 2 * self.num_digits - 1
 
         self.limbs: list[LimbPlan] = [self._build_limb(q) for q in moduli]
 
         # Stacked device tables ------------------------------------------
         l, L = self.degree, self.num_limbs
+        C = self.num_columns
         q_arr = np.array(moduli, np.uint64)
         self.q_hi, self.q_lo = u64op.split_u64_np(q_arr)          # [L]
-        # fold tables: pow[c] = 2^(8c) mod q, c in 0..15
-        pow_vals = np.zeros((L, u64op.NUM_COLUMNS), np.uint64)
-        pow_sh32 = np.zeros((L, u64op.NUM_COLUMNS), np.uint64)
+        # fold tables: pow[c] = 2^(8c) mod q, c in 0..C
+        pow_vals = np.zeros((L, C), np.uint64)
+        pow_sh32 = np.zeros((L, C), np.uint64)
         for i, q in enumerate(moduli):
-            for c in range(u64op.NUM_COLUMNS):
+            for c in range(C):
                 w = pow(2, 8 * c, q)
                 pow_vals[i, c] = w
                 pow_sh32[i, c] = (w << 32) // q
-        self.pow_hi, self.pow_lo = u64op.split_u64_np(pow_vals)    # [L, 15]
-        self.pow_wp32 = pow_sh32.astype(np.uint32)                 # [L, 15]
+        self.pow_hi, self.pow_lo = u64op.split_u64_np(pow_vals)    # [L, C]
+        self.pow_wp32 = pow_sh32.astype(np.uint32)                 # [L, C]
         # grouped-fold tables: w_g = 2^(32g) mod q with 64-bit Shoup
         # companions, and the bias constant K = sum_c 2^31 * 2^(8c) mod q
+        # (only ceil(C/4) groups are touched by the fold; keep 4 columns
+        # so the table shape is digit-count independent)
         grp_w = np.zeros((L, 4), np.uint64)
         grp_s = np.zeros((L, 4), np.uint64)
         bias = np.zeros((L,), np.uint64)
@@ -142,7 +164,7 @@ class RingPlan:
                 w = pow(2, 32 * g, q)
                 grp_w[i, g] = w
                 grp_s[i, g] = (w << 64) // q
-            k_const = sum((1 << 31) << (8 * c) for c in range(u64op.NUM_COLUMNS))
+            k_const = sum((1 << 31) << (8 * c) for c in range(C))
             bias[i] = k_const % q
         self.grp_hi, self.grp_lo = u64op.split_u64_np(grp_w)       # [L, 4]
         self.grp_sh, self.grp_sl = u64op.split_u64_np(grp_s)
@@ -179,8 +201,8 @@ class RingPlan:
             psi=psi,
             ntt_fwd=fwd,
             ntt_inv=inv,
-            ntt_fwd_dig=_digits_np(fwd),
-            ntt_inv_dig=_digits_np(inv),
+            ntt_fwd_dig=_digits_np(fwd, self.num_digits),
+            ntt_inv_dig=_digits_np(inv, self.num_digits),
         )
 
     # -- identity ------------------------------------------------------
