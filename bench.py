@@ -31,9 +31,10 @@ N_RECEIVERS = 4096
 K_DIM = 256
 ELL = 8
 MODULI = (0xFFFFC4001, 0x1FFFFE0001)
-# Batch 512 is the measured-best dispatch size on v5e; 256 trips a
-# pathologically slow XLA schedule for this shape (observed 15x slower).
-BATCH = 512
+# Measured-best dispatch size on v5e (digit-width x batch sweep,
+# benchmarks/sweep_digits.py): batch 1024 at the adaptive 5-digit width.
+# Small batches trip pathologically slow XLA schedules for this shape.
+BATCH = 1024
 
 
 def log(*a):
