@@ -4,9 +4,10 @@ decode latency percentiles (BASELINE.json headline metrics).
 "NTT limb-op" = one butterfly-equivalent modular multiply-accumulate:
 the dense l x l NTT does l^2 modmuls per (poly, limb), i.e.
 l^2 * L * batch per call. Speed-of-light context printed alongside:
-v5e MXU peak ~394 TOPS int8; each modmul costs 15*64 = 960 int8 MACs in
-the banded formulation (8-digit operands, 15 columns), so the MXU-bound
-ceiling is ~410 G modmul/s before fold costs.
+v5e MXU peak ~394 TOPS int8; each modmul costs nd*(2nd-1) int8 MACs in
+the banded formulation (nd = ring.num_digits, adaptive per prime chain:
+5 for the 37-bit headline moduli, 8 for 55-bit+), so both the achieved
+modmul rate and the implied raw int8 MAC rate are printed.
 
 Run on TPU: ``python benchmarks/roofline.py``
 """
@@ -77,10 +78,13 @@ def main() -> None:
     mm = jax.jit(partial(modmat.matmul_channels_banded, ring=ring))
     dt = pipeline_time(lambda: mm(bp, rp))
     modmuls = L * l * N * K * D / dt
+    nd, C = ring.num_digits, ring.num_columns
+    macs = modmuls * nd * C
     results["matmul_modmul_per_s"] = modmuls
-    print(f"matmul [{N}x{K}]x[{K}x{D}] x {L*l} channels: {dt*1e3:.3f} ms "
-          f"-> {modmuls/1e9:.2f} G modmul/s "
-          f"(MXU-bound ceiling ~410 G/s)", flush=True)
+    results["matmul_int8_macs_per_s"] = macs
+    print(f"matmul [{N}x{K}]x[{K}x{D}] x {L*l} channels (nd={nd}, C={C}): "
+          f"{dt*1e3:.3f} ms -> {modmuls/1e9:.2f} G modmul/s "
+          f"({macs/1e12:.2f} T int8 MAC/s vs ~394 T peak)", flush=True)
 
     # --- decode latency -------------------------------------------------
     from pvw_tpu import PvwParameters, PvwParametersBuilder

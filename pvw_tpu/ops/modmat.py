@@ -8,13 +8,15 @@ product ``<s, c1>`` (``decryption.rs:257-271``) — is a matrix contraction
 whose scalars are residues mod a 62-bit prime.
 
 TPUs do not multiply 64-bit integers, but the MXU multiplies int8 at
-hundreds of TOPS. So residues are decomposed into eight balanced signed
-8-bit digits (exact; see :func:`pvw_tpu.ops.u64.to_signed_digits`), the
-contraction runs as a single int8->int32 ``dot_general`` over the stacked
-digit axes, the 8x8 digit products are summed into 15 convolution columns
-(|column| < 2^31 for contraction length <= 8192), and the columns are folded
-back into residues with per-limb Shoup constant multiplications by
-2^(8c) mod q.
+hundreds of TOPS. So residues are decomposed into ``nd`` balanced signed
+8-bit digits (exact; nd = ring.num_digits, the minimal width for the
+prime chain — 5 for 37-bit primes, 8 for 55-bit+; see
+:func:`pvw_tpu.ops.u64.to_signed_digits`), the contraction runs as a
+single int8->int32 ``dot_general`` over the stacked digit axes, the
+nd x nd digit products are summed into 2nd-1 convolution columns
+(|column| < 2^31 for contraction length <= 8192), and the columns are
+folded back into residues with per-limb Shoup constant multiplications
+by 2^(8c) mod q.
 
 This is NOT how the reference computes — it does per-element u64
 Barrett/NTT products on CPU (fhe-math ``zq``); a faithful port would leave

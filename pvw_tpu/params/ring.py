@@ -208,17 +208,21 @@ class RingPlan:
     # -- identity ------------------------------------------------------
 
     def __hash__(self) -> int:
-        return hash((self.moduli, self.degree))
+        return hash((self.moduli, self.degree, self.num_digits))
 
     def __eq__(self, other: object) -> bool:
         return (
             isinstance(other, RingPlan)
             and other.moduli == self.moduli
             and other.degree == self.degree
+            and other.num_digits == self.num_digits
         )
 
     def __repr__(self) -> str:
-        return f"RingPlan(moduli={[hex(m) for m in self.moduli]}, degree={self.degree})"
+        return (
+            f"RingPlan(moduli={[hex(m) for m in self.moduli]}, "
+            f"degree={self.degree}, num_digits={self.num_digits})"
+        )
 
     # -- host packing helpers ------------------------------------------
 
