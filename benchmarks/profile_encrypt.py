@@ -30,11 +30,21 @@ D = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 MODULI = (0xFFFFC4001, 0x1FFFFE0001)
 
 
-def bench(name, fn, *args, iters=3):
-    out = jax.block_until_ready(fn(*args))
+def _sync(out):
+    """Force completion: fetch one scalar to the host (on the axon tunnel
+    ``jax.block_until_ready`` can return before device completion)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+    return out
+
+
+def bench(name, fn, *args, iters=5):
+    _sync(fn(*args))
     t0 = time.time()
+    out = None
     for _ in range(iters):
-        out = jax.block_until_ready(fn(*args))
+        out = fn(*args)
+    _sync(out)
     dt = (time.time() - t0) / iters
     print(f"{name:40s} {dt * 1000:9.2f} ms", flush=True)
     return out

@@ -30,8 +30,11 @@ from ..keys.public_key import GlobalPublicKey
 from ..ops import modmat, ntt as ntt_ops, u64 as u64op
 from ..params.parameters import PvwParameters
 from ..poly import Poly, Representation
-from ..sampling.cbd import sample_vec_cbd_rows
-from ..sampling.uniform import sample_uniform_residues_rows
+from ..sampling.cbd import cbd_bound, sample_vec_cbd_rows
+from ..sampling.uniform import (
+    sample_uniform_residues_rows,
+    sample_uniform_signed_rows,
+)
 
 
 class PvwCiphertext:
@@ -119,10 +122,12 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
 
     # r: row-keyed CBD ("stream v2": row j from fold_in(k_r, j), so mesh
     # shards sample only their k-block; see sampling/uniform.py) ->
-    # coefficients [k, d, l] -> NTT [k, d, L, l]          (encryption.rs:132-154)
+    # coefficients [k, d, l] -> NTT via the small-coefficient path (CBD
+    # values fit one signed digit)                       (encryption.rs:132-154)
     r_coeffs = sample_vec_cbd_rows(k_r, 0, k, (d, l), params.secret_variance)
-    r_pb = modmat.from_signed_coeffs(r_coeffs, ring)            # [k, d, L, l]
-    r_ntt = ntt_ops.ntt_forward(r_pb, ring)
+    r_ntt = ntt_ops.ntt_forward_signed(
+        r_coeffs, ring, cbd_bound(params.secret_variance)
+    )
     r_ch = (jnp.transpose(r_ntt[0], (2, 3, 0, 1)),              # [L, l, k, d]
             jnp.transpose(r_ntt[1], (2, 3, 0, 1)))
 
@@ -130,16 +135,28 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
     # B·r + NTT(e2)) are summed as int32 digit-convolution columns and
     # folded ONCE — halving the VPU fold work vs fold-then-addmod.
     # Magnitudes: matmul cols <= k*nd*2^14, NTT cols <= nd*l*2^14 — well
-    # inside int32 for k <= MAX_CONTRACTION.
+    # inside int32 for k <= MAX_CONTRACTION. The error NTTs run on raw
+    # signed samples (1-2 digits, see ops/ntt.py small-coefficient path)
+    # and zero-pad their narrow column axis up to C; XLA fuses the pad
+    # into the add, so only nd+jr-1 columns ever hit HBM.
+
+    def _noise_cols(kk, rows, bound):
+        if ntt_ops.signed_digit_count(bound):
+            ecoef = sample_uniform_signed_rows(kk, 0, rows, (d, l), bound)
+            cols, _ = ntt_ops.ntt_forward_cols_signed(ecoef, ring, bound)
+        else:  # huge bounds: full residue path (values the same)
+            e = sample_uniform_residues_rows(kk, 0, rows, (d, l), bound, ring)
+            cols, _ = ntt_ops.ntt_forward_cols(e, ring)
+        pad = C - cols.shape[-1]
+        if pad:
+            cols = jnp.pad(cols, ((0, 0),) * (cols.ndim - 1) + ((0, pad),))
+        return cols
 
     # c1 = A·r + e1                                      (encryption.rs:156-173)
     cols_ar = modmat.banded_cols(
         (to_channels(a_hi), to_channels(a_lo)), r_ch, ring
     )                                                           # [L,l,k,d,C]
-    e1_hi, e1_lo = sample_uniform_residues_rows(
-        k_e1, 0, k, (d, l), params.error_bound_1, ring
-    )
-    cols_e1, _ = ntt_ops.ntt_forward_cols((e1_hi, e1_lo), ring)  # [L,l,k*d,C]
+    cols_e1 = _noise_cols(k_e1, k, params.error_bound_1)         # [L,l,k*d,C]
     c1h, c1l = modmat._fold_leading(
         cols_ar + cols_e1.reshape(L, l, k, d, C), ring
     )
@@ -149,10 +166,7 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
     cols_br = modmat.banded_cols(
         (to_channels(b_hi), to_channels(b_lo)), r_ch, ring
     )                                                           # [L,l,n,d,C]
-    e2_hi, e2_lo = sample_uniform_residues_rows(
-        k_e2, 0, n, (d, l), params.error_bound_2, ring
-    )
-    cols_e2, _ = ntt_ops.ntt_forward_cols((e2_hi, e2_lo), ring)
+    cols_e2 = _noise_cols(k_e2, n, params.error_bound_2)
     c2h, c2l = modmat._fold_leading(
         cols_br + cols_e2.reshape(L, l, n, d, C), ring
     )

@@ -22,44 +22,72 @@ from ..ops import modmat, ntt as ntt_ops
 from ..params.crs import PvwCrs
 from ..params.parameters import PvwParameters
 from ..poly import Poly, Representation
-from ..sampling.uniform import sample_uniform_residues_rows
+from ..sampling.uniform import (
+    sample_uniform_residues_rows,
+    sample_uniform_signed_rows,
+)
 from .secret_key import SecretKey
 
 
-@partial(jax.jit, static_argnums=(0,))
+@partial(jax.jit, static_argnums=(0, 5))
 def _batch_keygen_kernel(params: PvwParameters, a_hi, a_lo, coeffs, key,
-                         row_offset):
+                         coeff_bound, row_offset):
     """Public keys for a BLOCK of parties in one compiled program:
     b[p, i] = sum_j sk[p, j] * A[j, i] + e1[p, i].
 
     coeffs: int32 [p, k, l] CBD secrets for parties
-    [row_offset, row_offset + p); A: [k, k, L, l] NTT. Returns (hi, lo)
-    [p, k, L, l]. e1 rows are keyed by GLOBAL party index (stream v2), so
-    chunking over parties is value-identical to one big call. The s^T A
-    columns and the NTT(e1) columns are accumulated in int32 column space
-    and folded once; the column producer auto-selects banded vs standard
-    by memory (the k x k band exceeds HBM for large k*L*l).
+    [row_offset, row_offset + p); A: [k, k, L, l] NTT; coeff_bound: static
+    max |coefficient| (quantized by the caller to avoid recompiles).
+    Returns (hi, lo) [p, k, L, l]. e1 rows are keyed by GLOBAL party index
+    (stream v2), so chunking over parties is value-identical to one big
+    call. The s^T A columns and the NTT(e1) columns are accumulated in
+    int32 column space and folded once; the column producer auto-selects
+    banded vs standard by memory (the k x k band exceeds HBM for large
+    k*L*l). Secrets and errors take the small-coefficient NTT path when
+    their bounds allow (bit-identical values, fewer columns).
     """
     ring = params.ring
     L, l, k = ring.num_limbs, ring.degree, params.k
     C = ring.num_columns
     p = coeffs.shape[0]
-    sk_ntt = ntt_ops.ntt_forward(modmat.from_signed_coeffs(coeffs, ring), ring)
+    if ntt_ops.signed_digit_count(coeff_bound):
+        sk_ntt = ntt_ops.ntt_forward_signed(coeffs, ring, coeff_bound)
+    else:
+        sk_ntt = ntt_ops.ntt_forward(
+            modmat.from_signed_coeffs(coeffs, ring), ring
+        )
     to_ch = lambda x: jnp.transpose(x, (2, 3, 0, 1))
     cols_ska = modmat.matmul_cols(
         (to_ch(sk_ntt[0]), to_ch(sk_ntt[1])),
         (to_ch(a_hi), to_ch(a_lo)),
         ring,
     )                                                  # [L, l, p, k, C]
-    e1_hi, e1_lo = sample_uniform_residues_rows(
-        key, row_offset, p, (k, l), params.error_bound_1, ring
-    )
-    cols_e1, _ = ntt_ops.ntt_forward_cols((e1_hi, e1_lo), ring)
+    b1 = params.error_bound_1
+    if ntt_ops.signed_digit_count(b1):
+        e1c = sample_uniform_signed_rows(key, row_offset, p, (k, l), b1)
+        cols_e1, _ = ntt_ops.ntt_forward_cols_signed(e1c, ring, b1)
+        pad = C - cols_e1.shape[-1]
+        if pad:
+            cols_e1 = jnp.pad(
+                cols_e1, ((0, 0),) * (cols_e1.ndim - 1) + ((0, pad),)
+            )
+    else:
+        e1 = sample_uniform_residues_rows(key, row_offset, p, (k, l), b1, ring)
+        cols_e1, _ = ntt_ops.ntt_forward_cols(e1, ring)
     bh, bl = modmat._fold_leading(
         cols_ska + cols_e1.reshape(L, l, p, k, C), ring
     )
     back = lambda x: jnp.transpose(x, (2, 3, 0, 1))    # -> [p, k, L, l]
     return back(bh), back(bl)
+
+
+def _quantized_coeff_bound(coeffs: np.ndarray) -> int:
+    """Static bound bucket for the keygen kernel: 127 / 32639 / huge."""
+    m = int(np.abs(coeffs.astype(np.int64)).max()) if coeffs.size else 0
+    for b in (127, 32639):
+        if m <= b:
+            return b
+    return 1 << 40
 
 
 def _keygen_chunk_size(params: PvwParameters) -> int:
@@ -251,10 +279,11 @@ class GlobalPublicKey:
         if params.error_bound_1 < min(params.ring.moduli):
             chunk = _keygen_chunk_size(params)
             p_total = coeffs.shape[0]
+            cb = _quantized_coeff_bound(coeffs)
             if p_total <= chunk:
                 bh, bl = _batch_keygen_kernel(
                     params, self.crs.matrix.hi, self.crs.matrix.lo,
-                    jnp.asarray(coeffs), key, 0,
+                    jnp.asarray(coeffs), key, cb, 0,
                 )
             else:
                 # chunk over parties; stream v2 keeps values identical
@@ -263,7 +292,7 @@ class GlobalPublicKey:
                     block = jnp.asarray(coeffs[start : start + chunk])
                     h, lo_ = _batch_keygen_kernel(
                         params, self.crs.matrix.hi, self.crs.matrix.lo,
-                        block, key, start,
+                        block, key, cb, start,
                     )
                     parts_h.append(h)
                     parts_l.append(lo_)

@@ -69,30 +69,34 @@ def _column_sums(p6, nd: int = D):
 
 
 def _fold_leading(cols, ring: "RingPlan"):
-    """Fold columns shaped [L, ..., 15] (limb axis leading) — grouped fold
-    (see :func:`pvw_tpu.ops.u64.fold_columns_grouped`)."""
-    nmid = cols.ndim - 2  # dims between the leading L axis and the 15 axis
+    """Fold columns shaped [L, ..., ncols] (limb axis leading) — grouped
+    fold (see :func:`pvw_tpu.ops.u64.fold_columns_grouped`). The bias is
+    looked up for the ACTUAL column count, so narrow column tensors from
+    the small-coefficient NTT path fold exactly too."""
+    nmid = cols.ndim - 2  # dims between the leading L axis and the col axis
     shp = (ring.num_limbs,) + (1,) * nmid + (4,)
     qshp = (ring.num_limbs,) + (1,) * nmid
+    bias_hi, bias_lo = ring.bias_pair_for_columns(cols.shape[-1])
     gh = jnp.asarray(ring.grp_hi).reshape(shp)
     gl = jnp.asarray(ring.grp_lo).reshape(shp)
     sh = jnp.asarray(ring.grp_sh).reshape(shp)
     sl = jnp.asarray(ring.grp_sl).reshape(shp)
-    bh = jnp.asarray(ring.bias_hi).reshape(qshp)
-    bl = jnp.asarray(ring.bias_lo).reshape(qshp)
+    bh = jnp.asarray(bias_hi).reshape(qshp)
+    bl = jnp.asarray(bias_lo).reshape(qshp)
     qh = jnp.asarray(ring.q_hi).reshape(qshp)
     ql = jnp.asarray(ring.q_lo).reshape(qshp)
     return u.fold_columns_grouped(cols, gh, gl, sh, sl, bh, bl, qh, ql)
 
 
 def _fold_trailing(cols, ring: "RingPlan"):
-    """Fold columns shaped [..., L, l, 15] (limb axis next-to-last-but-one)."""
+    """Fold columns shaped [..., L, l, ncols] (limb axis next-to-last-but-one)."""
+    bias_hi, bias_lo = ring.bias_pair_for_columns(cols.shape[-1])
     gh = jnp.asarray(ring.grp_hi)[:, None, :]
     gl = jnp.asarray(ring.grp_lo)[:, None, :]
     sh = jnp.asarray(ring.grp_sh)[:, None, :]
     sl = jnp.asarray(ring.grp_sl)[:, None, :]
-    bh = jnp.asarray(ring.bias_hi)[:, None]
-    bl = jnp.asarray(ring.bias_lo)[:, None]
+    bh = jnp.asarray(bias_hi)[:, None]
+    bl = jnp.asarray(bias_lo)[:, None]
     qh = jnp.asarray(ring.q_hi)[:, None]
     ql = jnp.asarray(ring.q_lo)[:, None]
     return u.fold_columns_grouped(cols, gh, gl, sh, sl, bh, bl, qh, ql)

@@ -85,3 +85,79 @@ def ntt_forward(x, ring: "RingPlan"):
 def ntt_inverse(x, ring: "RingPlan"):
     """Ntt -> PowerBasis on [..., L, l] pairs."""
     return _apply_matrix(x, ring.ntt_inv_band, ring)
+
+
+# --------------------------------------------------------------------------
+# small-coefficient path: NTT straight from signed integer coefficients
+# --------------------------------------------------------------------------
+#
+# CBD secrets/randomness (|c| <= 32) and bounded errors (|c| <= a few
+# thousand) fit 1-2 signed 8-bit digits — far fewer than the nd digits of a
+# full residue. Feeding them to the banded twiddle matmul directly skips
+# the residue embedding AND shrinks the column tensor from 2nd-1 to
+# nd+jr-1 columns (e.g. 9 -> 6 at nd=5), which is the dominant HBM traffic
+# of the noise path in encryption. Exact: the digit convolution computes
+# sum_i W[j,i]*c[i] as integers; folding mod q yields the identical
+# residues the residue path produces (bit-identical ciphertexts).
+
+def signed_digit_count(max_abs: int) -> int:
+    """Digits needed for signed values with |v| <= max_abs (None-able)."""
+    if max_abs <= 127:
+        return 1
+    if max_abs <= 32639:  # 127*256 + 127
+        return 2
+    return 0  # does not fit the small path; use residues
+
+
+def _signed_digits(c, jr: int):
+    """int32 [..., l] signed values -> int8 digits [..., l, jr] (balanced;
+    exact for |v| <= 127 (jr=1) / 32639 (jr=2))."""
+    c = c.astype(jnp.int32)
+    if jr == 1:
+        return c.astype(jnp.int8)[..., None]
+    d0 = ((c + 128) & 255) - 128
+    d1 = (c - d0) >> 8
+    return jnp.stack([d0.astype(jnp.int8), d1.astype(jnp.int8)], axis=-1)
+
+
+def ntt_forward_cols_signed(coeffs, ring: "RingPlan", max_abs: int):
+    """Forward NTT of small signed coefficients as unfolded columns.
+
+    coeffs: int32 [..., l] with |c| <= max_abs (static bound; must satisfy
+    signed_digit_count(max_abs) > 0). Returns (cols [L, l, B, nd+jr-1],
+    batch_shape). Pad the column axis to ring.num_columns with zeros to
+    accumulate against full-width matmul columns.
+    """
+    jr = signed_digit_count(max_abs)
+    if jr == 0:
+        raise ValueError(f"coefficients up to {max_abs} need the residue path")
+    band = ring.ntt_band_jr("fwd", jr)
+    batch_shape = coeffs.shape[:-1]
+    L, l = ring.num_limbs, ring.degree
+    nd = ring.num_digits
+    C = nd + jr - 1
+    b = 1
+    for s in batch_shape:
+        b *= s
+    xd = _signed_digits(coeffs.reshape(b, l), jr)          # [B, l, jr]
+    rhs = jnp.transpose(xd, (1, 2, 0)).reshape(l * jr, b)  # [(l, j), B]
+    p = jax.lax.dot_general(
+        jnp.asarray(band),
+        jnp.broadcast_to(rhs[None], (L,) + rhs.shape),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )                                                      # [L, C*l, B]
+    cols = jnp.transpose(p.reshape(L, C, l, b), (0, 2, 3, 1))  # [L, l, B, C]
+    return cols, batch_shape
+
+
+def ntt_forward_signed(coeffs, ring: "RingPlan", max_abs: int):
+    """PowerBasis signed coefficients [..., l] -> Ntt residue pairs
+    [..., L, l]. Drop-in for from_signed_coeffs + ntt_forward when
+    |c| <= 32639 — same values, less work."""
+    cols, batch_shape = ntt_forward_cols_signed(coeffs, ring, max_abs)
+    L, l = ring.num_limbs, ring.degree
+    oh, ol = _fold_leading(cols, ring)                     # [L, l, B]
+    oh = jnp.moveaxis(oh, -1, 0).reshape(batch_shape + (L, l))
+    ol = jnp.moveaxis(ol, -1, 0).reshape(batch_shape + (L, l))
+    return oh, ol

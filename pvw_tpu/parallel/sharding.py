@@ -37,8 +37,11 @@ from ..keys.public_key import GlobalPublicKey
 from ..ops import modmat, ntt as ntt_ops, u64 as u64op
 from ..params.parameters import PvwParameters
 from ..poly import Poly, Representation
-from ..sampling.cbd import sample_vec_cbd_rows
-from ..sampling.uniform import sample_uniform_residues_rows
+from ..sampling.cbd import cbd_bound, sample_vec_cbd_rows
+from ..sampling.uniform import (
+    sample_uniform_residues_rows,
+    sample_uniform_signed_rows,
+)
 from ..crypto.encryption import PvwCiphertext, _scalars_to_pairs
 
 
@@ -81,6 +84,15 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
     kd = mesh.shape["kdim"]
     kc = k // kd
 
+    def _noise_ntt(kk, row_off, rows, bound):
+        """Row-keyed error sampling + NTT: small-coefficient path when the
+        bound allows (same stream, bit-identical values)."""
+        if ntt_ops.signed_digit_count(bound):
+            ec = sample_uniform_signed_rows(kk, row_off, rows, (d, l), bound)
+            return ntt_ops.ntt_forward_signed(ec, ring, bound)
+        e = sample_uniform_residues_rows(kk, row_off, rows, (d, l), bound, ring)
+        return ntt_ops.ntt_forward(e, ring)
+
     def shard_fn(a_hi, a_lo, b_hi, b_lo, sc_hi, sc_lo, key):
         k_r, k_e1, k_e2 = jax.random.split(key, 3)
         my_k = jax.lax.axis_index("kdim")
@@ -91,16 +103,14 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         r_coeffs = sample_vec_cbd_rows(
             k_r, my_k * kc, kc, (d, l), params.secret_variance
         )                                                      # [kc, d, l]
-        r_pb = modmat.from_signed_coeffs(r_coeffs, ring)       # [kc, d, L, l]
-        rb_hi, rb_lo = ntt_ops.ntt_forward(r_pb, ring)
+        rb_hi, rb_lo = ntt_ops.ntt_forward_signed(
+            r_coeffs, ring, cbd_bound(params.secret_variance)
+        )
 
         # c1 partial over the local k block, then gather+addmod over kdim
         c1p = modmat.poly_matmul((a_hi, a_lo), (rb_hi, rb_lo), ring)
         c1_hi, c1_lo = _modsum_gathered(c1p[0], c1p[1], ring, "kdim")
-        e1_hi, e1_lo = sample_uniform_residues_rows(
-            k_e1, 0, k, (d, l), params.error_bound_1, ring
-        )
-        e1 = ntt_ops.ntt_forward((e1_hi, e1_lo), ring)
+        e1 = _noise_ntt(k_e1, 0, k, params.error_bound_1)
         c1 = modmat.poly_add((c1_hi, c1_lo), e1, ring)
 
         # c2: local receiver rows x local k block
@@ -122,10 +132,7 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         # e2: row-keyed — sample only this shard's receiver rows
         my_r = jax.lax.axis_index("recv")
         nl = b_hi.shape[0]
-        e2_hi, e2_lo = sample_uniform_residues_rows(
-            k_e2, my_r * nl, nl, (d, l), params.error_bound_2, ring
-        )
-        e2 = ntt_ops.ntt_forward((e2_hi, e2_lo), ring)
+        e2 = _noise_ntt(k_e2, my_r * nl, nl, params.error_bound_2)
         c2 = modmat.poly_add(modmat.poly_add((c2_hi, c2_lo), enc, ring), e2, ring)
         return c1[0], c1[1], c2[0], c2[1]
 

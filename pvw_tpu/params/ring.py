@@ -61,22 +61,27 @@ def _digits_np(values: np.ndarray, nd: int = 8) -> np.ndarray:
     return out.astype(np.int8)
 
 
-def _band_lhs_np(dig: np.ndarray) -> np.ndarray:
-    """lhs digits [m, k, 8] int8 -> banded [15m, 8k] with
-    band[(c, m), (k, j)] = dig[m, k, c - j] for 0 <= c-j < 8, else 0.
+def _band_lhs_np(dig: np.ndarray, jr: int | None = None) -> np.ndarray:
+    """lhs digits [m, k, nd] int8 -> banded [(nd+jr-1)m, jr*k] with
+    band[(c, m), (k, j)] = dig[m, k, c - j] for 0 <= c-j < nd, else 0.
 
     A matmul of this band against rhs digits arranged [(k, j), n]
-    (k-major, digit-minor) produces the 15 digit-convolution columns
-    c-major — no 8x8 outer product, no column-sum pass."""
+    (k-major, digit-minor, j < jr) produces the nd+jr-1 digit-convolution
+    columns c-major — no nd x jr outer product, no column-sum pass.
+    ``jr`` is the RHS digit count (default: square, jr = nd); jr < nd is
+    the small-coefficient path (CBD secrets fit 1 digit, bounded errors 2).
+    """
     m, k, nd = dig.shape
-    ncols = 2 * nd - 1
-    band = np.zeros((ncols, m, k, nd), np.int8)
+    if jr is None:
+        jr = nd
+    ncols = nd + jr - 1
+    band = np.zeros((ncols, m, k, jr), np.int8)
     for c in range(ncols):
-        for j in range(nd):
+        for j in range(jr):
             d = c - j
             if 0 <= d < nd:
                 band[c, :, :, j] = dig[:, :, d]
-    return band.reshape(ncols * m, k * nd)
+    return band.reshape(ncols * m, k * jr)
 
 
 @dataclass(frozen=True)
@@ -175,9 +180,36 @@ class RingPlan:
         # columns directly (see ops/modmat.py banded discussion) — free at
         # plan-build time since the twiddles are constant.
         self.ntt_fwd_band = np.stack([_band_lhs_np(lp.ntt_fwd_dig)
-                                      for lp in self.limbs])  # [L, 15l, 8l]
+                                      for lp in self.limbs])  # [L, Cl, nd*l]
         self.ntt_inv_band = np.stack([_band_lhs_np(lp.ntt_inv_dig)
                                       for lp in self.limbs])
+        self._band_jr_cache: dict[tuple[str, int], np.ndarray] = {}
+        self._bias_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {
+            C: (self.bias_hi, self.bias_lo)
+        }
+
+    def ntt_band_jr(self, direction: str, jr: int) -> np.ndarray:
+        """Banded twiddle matrix for an ``jr``-digit rhs (the
+        small-coefficient NTT path): int8 [L, (nd+jr-1)l, jr*l]."""
+        key = (direction, jr)
+        if key not in self._band_jr_cache:
+            digs = [lp.ntt_fwd_dig if direction == "fwd" else lp.ntt_inv_dig
+                    for lp in self.limbs]
+            self._band_jr_cache[key] = np.stack(
+                [_band_lhs_np(d, jr) for d in digs]
+            )
+        return self._band_jr_cache[key]
+
+    def bias_pair_for_columns(self, ncols: int):
+        """Grouped-fold bias K = sum_{c<ncols} 2^31 * 2^(8c) mod q as
+        (hi, lo) uint32 [L] — for folding column tensors narrower than the
+        full num_columns (small-coefficient NTT outputs)."""
+        if ncols not in self._bias_cache:
+            bias = np.zeros((self.num_limbs,), np.uint64)
+            for i, q in enumerate(self.moduli):
+                bias[i] = sum((1 << 31) << (8 * c) for c in range(ncols)) % q
+            self._bias_cache[ncols] = u64op.split_u64_np(bias)
+        return self._bias_cache[ncols]
 
     # -- construction helpers ------------------------------------------
 

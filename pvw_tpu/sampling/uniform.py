@@ -140,6 +140,32 @@ def sample_uniform_residues_rows(
     return _embed_centered(vh, vl, shape, bound, ring)
 
 
+def sample_uniform_signed_rows(
+    key: jax.Array, row_offset, num_rows: int, shape_tail: tuple[int, ...],
+    bound: int,
+):
+    """Row-keyed bounded-uniform sampling returning SIGNED int32 values in
+    [-bound, bound] instead of embedded residues.
+
+    Draws the IDENTICAL random stream as
+    :func:`sample_uniform_residues_rows` (same fold_in keys, same 128-bit
+    reduction), so kernels switching to the small-coefficient NTT path
+    (:func:`pvw_tpu.ops.ntt.ntt_forward_cols_signed`) produce bit-identical
+    ciphertexts. Requires bound < 2^30 so v - bound fits int32; the signed
+    NTT path further requires bound <= 32639.
+    """
+    bound = int(bound)
+    if not 0 < bound < 1 << 30:
+        raise SamplingError(f"bound {bound} out of signed-path range")
+    idx = jnp.asarray(row_offset) + jnp.arange(num_rows)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
+    _, vl = jax.vmap(
+        lambda k: sample_bounded_u64(k, tuple(shape_tail), 2 * bound + 1)
+    )(keys)
+    # v <= 2*bound < 2^31: the low word carries the whole value
+    return vl.astype(jnp.int32) - jnp.int32(bound)
+
+
 def _embed_centered(vh, vl, shape, bound: int, ring: RingPlan):
     """values in [0, 2*bound] (uint32 pairs, shape ``shape``) -> centered
     residues [..., L, l] with the limb axis inserted before the last."""

@@ -99,3 +99,44 @@ def test_linearity():
     np.testing.assert_array_equal(
         ints(fs), ints(modmat.poly_add(fa, fb, ring))
     )
+
+
+class TestSignedCoefficientPath:
+    """The small-coefficient NTT path (1-2 signed digits) must produce
+    residues bit-identical to from_signed_coeffs + ntt_forward."""
+
+    @pytest.mark.parametrize("moduli", [MODULI, BIG])
+    @pytest.mark.parametrize("bound", [1, 127, 128, 2000, 32639])
+    def test_matches_residue_path(self, moduli, bound):
+        ring = RingPlan(moduli, 8)
+        vals = np.concatenate([
+            [-bound, bound, 0, -1, 1],
+            RNG.integers(-bound, bound + 1, size=(3 * 8 - 5,)),
+        ]).astype(np.int32).reshape(3, 8)
+        coeffs = jnp.asarray(vals)
+        want = ntt.ntt_forward(modmat.from_signed_coeffs(coeffs, ring), ring)
+        got = ntt.ntt_forward_signed(coeffs, ring, bound)
+        np.testing.assert_array_equal(ints(got), ints(want))
+
+    def test_digit_count_thresholds(self):
+        assert ntt.signed_digit_count(127) == 1
+        assert ntt.signed_digit_count(128) == 2
+        assert ntt.signed_digit_count(32639) == 2
+        assert ntt.signed_digit_count(32640) == 0
+
+    def test_cols_match_padded_fold(self):
+        """Folding the narrow signed-path columns (with the bias looked up
+        for the actual width) equals the full-width residue fold."""
+        ring = RingPlan(MODULI, 8)
+        vals = RNG.integers(-2000, 2001, size=(4, 8)).astype(np.int32)
+        cols, bs = ntt.ntt_forward_cols_signed(jnp.asarray(vals), ring, 2000)
+        assert cols.shape[-1] == ring.num_digits + 1  # jr=2
+        oh, ol = modmat._fold_leading(cols, ring)
+        want = ntt.ntt_forward(
+            modmat.from_signed_coeffs(jnp.asarray(vals), ring), ring
+        )
+        got_h = np.moveaxis(np.asarray(oh), -1, 0).reshape(
+            bs + (ring.num_limbs, ring.degree))
+        got_l = np.moveaxis(np.asarray(ol), -1, 0).reshape(
+            bs + (ring.num_limbs, ring.degree))
+        np.testing.assert_array_equal(ints((got_h, got_l)), ints(want))
