@@ -1,0 +1,152 @@
+"""Marginal-cost ablation of the fused encryption kernel: time variants
+with one stage removed to get TRUE fused costs (standalone stage timings
+overstate what fusion already hides). Run on TPU."""
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+
+from pvw_tpu.ops import modmat, ntt as ntt_ops, u64 as u64op
+from pvw_tpu.params.parameters import PvwParameters, PvwParametersBuilder
+from pvw_tpu.sampling.cbd import cbd_bound, sample_vec_cbd_rows
+from pvw_tpu.sampling.uniform import sample_uniform_signed_rows
+
+N, K, ELL = 4096, 256, 8
+D = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+MODULI = (0xFFFFC4001, 0x1FFFFE0001)
+
+
+def _sync(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+    return out
+
+
+def bench(name, fn, *args, iters=10):
+    _sync(fn(*args))
+    t0 = time.time()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    dt = (time.time() - t0) / iters
+    print(f"{name:44s} {dt * 1000:9.2f} ms", flush=True)
+    return dt
+
+
+def make_kernel(params, *, with_e1=True, with_e2=True, with_encode=True,
+                with_transpose=True, with_c1=True, with_c2=True):
+    ring = params.ring
+    k, n, l = params.k, params.n, params.l
+    L, C = ring.num_limbs, ring.num_columns
+
+    @partial(jax.jit, static_argnums=())
+    def kern(a_hi, a_lo, b_hi, b_lo, sc_hi, sc_lo, key):
+        d = sc_hi.shape[0]
+        k_r, k_e1, k_e2 = jax.random.split(key, 3)
+        to_ch = lambda x: jnp.transpose(x, (2, 3, 0, 1))
+        from_ch = lambda x: jnp.transpose(x, (2, 3, 0, 1))
+
+        r_coeffs = sample_vec_cbd_rows(k_r, 0, k, (d, l), params.secret_variance)
+        r_ntt = ntt_ops.ntt_forward_signed(r_coeffs, ring,
+                                           cbd_bound(params.secret_variance))
+        r_ch = (jnp.transpose(r_ntt[0], (2, 3, 0, 1)),
+                jnp.transpose(r_ntt[1], (2, 3, 0, 1)))
+
+        def noise_cols(kk, rows, bound):
+            ec = sample_uniform_signed_rows(kk, 0, rows, (d, l), bound)
+            cols, _ = ntt_ops.ntt_forward_cols_signed(ec, ring, bound)
+            pad = C - cols.shape[-1]
+            return jnp.pad(cols, ((0, 0),) * (cols.ndim - 1) + ((0, pad),))
+
+        out = []
+        if with_c1:
+            cols_ar = modmat.banded_cols(
+                (to_ch(a_hi), to_ch(a_lo)), r_ch, ring)
+            if with_e1:
+                cols_ar = cols_ar + noise_cols(
+                    k_e1, k, params.error_bound_1).reshape(L, l, k, d, C)
+            c1h, c1l = modmat._fold_leading(cols_ar, ring)
+            if with_transpose:
+                out += [from_ch(c1h), from_ch(c1l)]
+            else:
+                out += [c1h, c1l]
+        if with_c2:
+            cols_br = modmat.banded_cols(
+                (to_ch(b_hi), to_ch(b_lo)), r_ch, ring)
+            if with_e2:
+                cols_br = cols_br + noise_cols(
+                    k_e2, n, params.error_bound_2).reshape(L, l, n, d, C)
+            c2h, c2l = modmat._fold_leading(cols_br, ring)
+            if with_encode:
+                enc = modmat.shoup_scale_table(
+                    (sc_hi, sc_lo), params.gadget_ntt,
+                    params.gadget_ntt_shoup, ring)
+                wh, wl = u64op.split_u64_np(params.gadget_wrap)
+                wrap = modmat.poly_sub(
+                    enc, (jnp.asarray(wh), jnp.asarray(wl)), ring)
+                neg = (sc_hi >= jnp.uint32(1 << 31))[..., None, None]
+                eh = jnp.where(neg, wrap[0], enc[0])
+                el = jnp.where(neg, wrap[1], enc[1])
+                if with_transpose:
+                    c2h, c2l = modmat.poly_add(
+                        (from_ch(c2h), from_ch(c2l)),
+                        (jnp.transpose(eh, (1, 0, 2, 3)),
+                         jnp.transpose(el, (1, 0, 2, 3))), ring)
+                else:
+                    c2h, c2l = modmat.poly_add(
+                        (c2h, c2l),
+                        (jnp.transpose(eh, (2, 3, 1, 0)),
+                         jnp.transpose(el, (2, 3, 1, 0))), ring)
+                out += [c2h, c2l]
+            else:
+                if with_transpose:
+                    out += [from_ch(c2h), from_ch(c2l)]
+                else:
+                    out += [c2h, c2l]
+        return tuple(out)
+
+    return kern
+
+
+def main():
+    b1, b2 = PvwParameters.suggest_error_bounds(N, K, ELL, MODULI, 0.5)
+    params = (PvwParametersBuilder().set_parties(N).set_dimension(K)
+              .set_l(ELL).set_moduli(MODULI).set_secret_variance(0.5)
+              .set_error_bounds_u32(b1, b2).build())
+    ring = params.ring
+    rng = np.random.default_rng(0)
+    qs = np.array(MODULI, np.uint64).reshape(-1, 1, 1, 1)
+    a = rng.integers(0, 1 << 36, (len(MODULI), 1, K, K), dtype=np.uint64) % qs
+    b = rng.integers(0, 1 << 36, (len(MODULI), 1, N, K), dtype=np.uint64) % qs
+    a = np.broadcast_to(np.moveaxis(a, (0, 1), (2, 3)), (K, K, len(MODULI), ELL)).copy()
+    b = np.broadcast_to(np.moveaxis(b, (0, 1), (2, 3)), (N, K, len(MODULI), ELL)).copy()
+    ah, al = map(jnp.asarray, u64op.split_u64_np(a))
+    bh, bl = map(jnp.asarray, u64op.split_u64_np(b))
+    sc = rng.integers(0, 1 << 32, (D, N), dtype=np.uint64)
+    sch, scl = map(jnp.asarray, u64op.split_u64_np(sc))
+    key = jax.random.key(0)
+    args = (ah, al, bh, bl, sch, scl, key)
+
+    print(f"config: n={N} k={K} l={ELL} batch={D}")
+    full = bench("full kernel", make_kernel(params), *args)
+    for nm, kw in [
+        ("no e2", dict(with_e2=False)),
+        ("no e1", dict(with_e1=False)),
+        ("no encode", dict(with_encode=False)),
+        ("no output transpose", dict(with_transpose=False)),
+        ("c2 only (no c1 branch)", dict(with_c1=False)),
+        ("c1 only (no c2 branch)", dict(with_c2=False)),
+    ]:
+        dt = bench(nm, make_kernel(params, **kw), *args)
+        print(f"    -> marginal {1000*(full-dt):+.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -131,14 +131,15 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
     r_ch = (jnp.transpose(r_ntt[0], (2, 3, 0, 1)),              # [L, l, k, d]
             jnp.transpose(r_ntt[1], (2, 3, 0, 1)))
 
-    # Column-space accumulation: fold is linear, so A·r + NTT(e1) (and
-    # B·r + NTT(e2)) are summed as int32 digit-convolution columns and
-    # folded ONCE — halving the VPU fold work vs fold-then-addmod.
-    # Magnitudes: matmul cols <= k*nd*2^14, NTT cols <= nd*l*2^14 — well
-    # inside int32 for k <= MAX_CONTRACTION. The error NTTs run on raw
-    # signed samples (1-2 digits, see ops/ntt.py small-coefficient path)
-    # and zero-pad their narrow column axis up to C; XLA fuses the pad
-    # into the add, so only nd+jr-1 columns ever hit HBM.
+    # Error-noise handling, measured on v5e (benchmarks/ablate_encrypt.py):
+    # - e1 accumulates in int32 COLUMN space with the A·r columns and
+    #   folds once (the [L,l,k,d,C] tensor is small; one fold saves VPU).
+    # - e2 folds to residues SEPARATELY and addmods into the folded B·r:
+    #   column-accumulating e2 forces the full [L,l,n,d,C] column tensors
+    #   of BOTH operands through HBM (the n axis is 16x the k axis) and
+    #   measured 7.5 ms slower per batch-1024 call than fold-then-add.
+    # Both error NTTs run on raw signed samples (1-2 digits, see
+    # ops/ntt.py small-coefficient path) when the bound allows.
 
     def _noise_cols(kk, rows, bound):
         if ntt_ops.signed_digit_count(bound):
@@ -151,6 +152,13 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
         if pad:
             cols = jnp.pad(cols, ((0, 0),) * (cols.ndim - 1) + ((0, pad),))
         return cols
+
+    def _noise_ntt(kk, rows, bound):
+        if ntt_ops.signed_digit_count(bound):
+            ecoef = sample_uniform_signed_rows(kk, 0, rows, (d, l), bound)
+            return ntt_ops.ntt_forward_signed(ecoef, ring, bound)
+        e = sample_uniform_residues_rows(kk, 0, rows, (d, l), bound, ring)
+        return ntt_ops.ntt_forward(e, ring)
 
     # c1 = A·r + e1                                      (encryption.rs:156-173)
     cols_ar = modmat.banded_cols(
@@ -166,9 +174,14 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
     cols_br = modmat.banded_cols(
         (to_channels(b_hi), to_channels(b_lo)), r_ch, ring
     )                                                           # [L,l,n,d,C]
-    cols_e2 = _noise_cols(k_e2, n, params.error_bound_2)
-    c2h, c2l = modmat._fold_leading(
-        cols_br + cols_e2.reshape(L, l, n, d, C), ring
+    c2h, c2l = modmat._fold_leading(cols_br, ring)               # [L,l,n,d]
+    e2h, e2l = _noise_ntt(k_e2, n, params.error_bound_2)         # [n,d,L,l]
+    qh4 = jnp.asarray(ring.q_hi).reshape(L, 1, 1, 1)
+    ql4 = jnp.asarray(ring.q_lo).reshape(L, 1, 1, 1)
+    c2h, c2l = u64op.addmod(
+        c2h, c2l,
+        jnp.transpose(e2h, (2, 3, 0, 1)), jnp.transpose(e2l, (2, 3, 0, 1)),
+        qh4, ql4,
     )
     # encode: m·g in NTT domain via constant Shoup multiply; u64->i64 wrap
     # (encryption.rs:195) corrected by subtracting (2^64 mod q)·g.
