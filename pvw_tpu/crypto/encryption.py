@@ -171,10 +171,13 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
     c1 = (from_channels(c1h), from_channels(c1l))                # [k, d, L, l]
 
     # c2 = B·r + encode(scalars) + e2                    (encryption.rs:175-200)
-    cols_br = modmat.banded_cols(
+    # B·r runs through the fused Pallas matmul+fold on TPU (the int32
+    # column tensor never leaves VMEM); XLA banded elsewhere.
+    from ..ops.pallas_modmat import matmul_fold_auto
+
+    c2h, c2l = matmul_fold_auto(
         (to_channels(b_hi), to_channels(b_lo)), r_ch, ring
-    )                                                           # [L,l,n,d,C]
-    c2h, c2l = modmat._fold_leading(cols_br, ring)               # [L,l,n,d]
+    )                                                           # [L,l,n,d]
     e2h, e2l = _noise_ntt(k_e2, n, params.error_bound_2)         # [n,d,L,l]
     qh4 = jnp.asarray(ring.q_hi).reshape(L, 1, 1, 1)
     ql4 = jnp.asarray(ring.q_lo).reshape(L, 1, 1, 1)

@@ -150,6 +150,46 @@ def _build_band_cmajor(rd):
     return jnp.transpose(band, (0, 3, 1, 2, 4)).reshape(chn, C, k * nd, n)
 
 
+# VMEM working-set budget for auto tile selection (v5e has ~16 MB/core;
+# leave headroom for double buffering).
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def matmul_fold_auto(lhs, rhs, ring: "RingPlan"):
+    """Fused modular matmul: Pallas kernel on TPU, XLA banded elsewhere.
+
+    Measured on v5e at the headline shapes ([16ch, 4096x256]x[256x1024],
+    nd=5): Pallas 15.3 ms vs XLA banded 27.0 ms — the in-VMEM fold halves
+    the HBM traffic of the int32 column intermediate. (An earlier fixed
+    8-digit measurement had Pallas 2.7x SLOWER; the adaptive digit width
+    flipped the verdict.) Off-TPU (tests) the XLA path avoids the
+    interpreter; PVW_NO_PALLAS=1 forces XLA everywhere.
+    """
+    import os
+
+    from . import modmat
+
+    (lh, ll), _ = lhs, rhs
+    L, S, m, k = lh.shape
+    n = rhs[0].shape[-1]
+    nd, C = ring.num_digits, ring.num_columns
+    kd = k * nd
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu or os.environ.get("PVW_NO_PALLAS"):
+        return modmat.matmul_channels_banded(lhs, rhs, ring)
+    # VMEM-aware tiles: band block C*kd*tn + lhs tile tm*kd + 2 outputs
+    tile_m, tile_n = 512, 256
+    while tile_n > 128 and C * kd * tile_n > _VMEM_BUDGET * 3 // 4:
+        tile_n //= 2
+    while (tile_m > 64 and
+           tile_m * kd + C * kd * tile_n + 8 * tile_m * tile_n > _VMEM_BUDGET):
+        tile_m //= 2
+    if C * kd * tile_n + tile_m * kd > _VMEM_BUDGET:
+        return modmat.matmul_channels_banded(lhs, rhs, ring)  # band too wide
+    return matmul_channels_pallas(lhs, rhs, ring, tile_m=tile_m,
+                                  tile_n=tile_n, interpret=False)
+
+
 def matmul_channels_pallas(lhs, rhs, ring: "RingPlan", tile_m: int = 256,
                            tile_n: int = 128,
                            interpret: bool | None = None):
