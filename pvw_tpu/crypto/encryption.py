@@ -113,7 +113,7 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
     """
     ring = params.ring
     k, n, l = params.k, params.n, params.l
-    L, C = ring.num_limbs, ring.num_columns
+    L = ring.num_limbs
     d = sc_hi.shape[0]
     k_r, k_e1, k_e2 = jax.random.split(key, 3)
 
@@ -131,27 +131,16 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
     r_ch = (jnp.transpose(r_ntt[0], (2, 3, 0, 1)),              # [L, l, k, d]
             jnp.transpose(r_ntt[1], (2, 3, 0, 1)))
 
-    # Error-noise handling, measured on v5e (benchmarks/ablate_encrypt.py):
-    # - e1 accumulates in int32 COLUMN space with the A·r columns and
-    #   folds once (the [L,l,k,d,C] tensor is small; one fold saves VPU).
-    # - e2 folds to residues SEPARATELY and addmods into the folded B·r:
-    #   column-accumulating e2 forces the full [L,l,n,d,C] column tensors
-    #   of BOTH operands through HBM (the n axis is 16x the k axis) and
-    #   measured 7.5 ms slower per batch-1024 call than fold-then-add.
-    # Both error NTTs run on raw signed samples (1-2 digits, see
-    # ops/ntt.py small-coefficient path) when the bound allows.
-
-    def _noise_cols(kk, rows, bound):
-        if ntt_ops.signed_digit_count(bound):
-            ecoef = sample_uniform_signed_rows(kk, 0, rows, (d, l), bound)
-            cols, _ = ntt_ops.ntt_forward_cols_signed(ecoef, ring, bound)
-        else:  # huge bounds: full residue path (values the same)
-            e = sample_uniform_residues_rows(kk, 0, rows, (d, l), bound, ring)
-            cols, _ = ntt_ops.ntt_forward_cols(e, ring)
-        pad = C - cols.shape[-1]
-        if pad:
-            cols = jnp.pad(cols, ((0, 0),) * (cols.ndim - 1) + ((0, pad),))
-        return cols
+    # Structure, measured on v5e (benchmarks/ablate_encrypt.py + probes):
+    # both matrix products run through the fused Pallas matmul+fold on
+    # TPU (the int32 column tensor never leaves VMEM; XLA banded
+    # elsewhere), and both errors fold to residues separately and addmod
+    # in. Column-accumulating the errors instead forces the full
+    # [L,l,rows,d,C] int32 column tensors of both operands through HBM —
+    # measured 7.5 ms (e2) + 1.9 ms (e1) slower per batch-1024 call.
+    # Error NTTs run on raw signed samples (1-2 digits, see ops/ntt.py
+    # small-coefficient path) when the bound allows.
+    from ..ops.pallas_modmat import matmul_fold_auto
 
     def _noise_ntt(kk, rows, bound):
         if ntt_ops.signed_digit_count(bound):
@@ -160,27 +149,26 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
         e = sample_uniform_residues_rows(kk, 0, rows, (d, l), bound, ring)
         return ntt_ops.ntt_forward(e, ring)
 
+    qh4 = jnp.asarray(ring.q_hi).reshape(L, 1, 1, 1)
+    ql4 = jnp.asarray(ring.q_lo).reshape(L, 1, 1, 1)
+
     # c1 = A·r + e1                                      (encryption.rs:156-173)
-    cols_ar = modmat.banded_cols(
+    c1h, c1l = matmul_fold_auto(
         (to_channels(a_hi), to_channels(a_lo)), r_ch, ring
-    )                                                           # [L,l,k,d,C]
-    cols_e1 = _noise_cols(k_e1, k, params.error_bound_1)         # [L,l,k*d,C]
-    c1h, c1l = modmat._fold_leading(
-        cols_ar + cols_e1.reshape(L, l, k, d, C), ring
+    )                                                           # [L,l,k,d]
+    e1h, e1l = _noise_ntt(k_e1, k, params.error_bound_1)         # [k,d,L,l]
+    c1h, c1l = u64op.addmod(
+        c1h, c1l,
+        jnp.transpose(e1h, (2, 3, 0, 1)), jnp.transpose(e1l, (2, 3, 0, 1)),
+        qh4, ql4,
     )
     c1 = (from_channels(c1h), from_channels(c1l))                # [k, d, L, l]
 
     # c2 = B·r + encode(scalars) + e2                    (encryption.rs:175-200)
-    # B·r runs through the fused Pallas matmul+fold on TPU (the int32
-    # column tensor never leaves VMEM); XLA banded elsewhere.
-    from ..ops.pallas_modmat import matmul_fold_auto
-
     c2h, c2l = matmul_fold_auto(
         (to_channels(b_hi), to_channels(b_lo)), r_ch, ring
     )                                                           # [L,l,n,d]
     e2h, e2l = _noise_ntt(k_e2, n, params.error_bound_2)         # [n,d,L,l]
-    qh4 = jnp.asarray(ring.q_hi).reshape(L, 1, 1, 1)
-    ql4 = jnp.asarray(ring.q_lo).reshape(L, 1, 1, 1)
     c2h, c2l = u64op.addmod(
         c2h, c2l,
         jnp.transpose(e2h, (2, 3, 0, 1)), jnp.transpose(e2l, (2, 3, 0, 1)),
