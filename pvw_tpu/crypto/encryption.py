@@ -140,7 +140,7 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
     # measured 7.5 ms (e2) + 1.9 ms (e1) slower per batch-1024 call.
     # Error NTTs run on raw signed samples (1-2 digits, see ops/ntt.py
     # small-coefficient path) when the bound allows.
-    from ..ops.pallas_modmat import matmul_fold_auto
+    from ..ops.pallas_modmat import matmul_fold_scaled
 
     def _noise_ntt(kk, rows, bound):
         if ntt_ops.signed_digit_count(bound):
@@ -152,9 +152,14 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
     qh4 = jnp.asarray(ring.q_hi).reshape(L, 1, 1, 1)
     ql4 = jnp.asarray(ring.q_lo).reshape(L, 1, 1, 1)
 
+    # r is the shared rhs of both products: prescale its digits ONCE
+    # (scaled-digit form, see ops/modmat.prescale_digits) so each matmul
+    # contracts over (k, nd) and folds only nd narrow columns.
+    r_scaled = modmat.prescale_digits(r_ch, ring)       # [L,l,k,d,nd,nd]
+
     # c1 = A·r + e1                                      (encryption.rs:156-173)
-    c1h, c1l = matmul_fold_auto(
-        (to_channels(a_hi), to_channels(a_lo)), r_ch, ring
+    c1h, c1l = matmul_fold_scaled(
+        (to_channels(a_hi), to_channels(a_lo)), r_scaled, ring
     )                                                           # [L,l,k,d]
     e1h, e1l = _noise_ntt(k_e1, k, params.error_bound_1)         # [k,d,L,l]
     c1h, c1l = u64op.addmod(
@@ -165,8 +170,8 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
     c1 = (from_channels(c1h), from_channels(c1l))                # [k, d, L, l]
 
     # c2 = B·r + encode(scalars) + e2                    (encryption.rs:175-200)
-    c2h, c2l = matmul_fold_auto(
-        (to_channels(b_hi), to_channels(b_lo)), r_ch, ring
+    c2h, c2l = matmul_fold_scaled(
+        (to_channels(b_hi), to_channels(b_lo)), r_scaled, ring
     )                                                           # [L,l,n,d]
     e2h, e2l = _noise_ntt(k_e2, n, params.error_bound_2)         # [n,d,L,l]
     c2h, c2l = u64op.addmod(

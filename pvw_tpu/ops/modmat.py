@@ -207,6 +207,79 @@ def matmul_cols(lhs, rhs, ring: "RingPlan"):
     return standard_cols(lhs, rhs, ring)
 
 
+def prescale_digits(rhs, ring: "RingPlan"):
+    """Scaled-digit decomposition of the small matmul operand.
+
+    For residues b < q and each lhs-digit index i, precompute
+    ``t_i = b * 2^(8i) mod q`` (one Shoup multiply per i on the SMALL
+    operand) and decompose it into nd signed digits. Then
+
+        sum_k a[m,k] * b[k,n]
+      = sum_k sum_i ad_i[m,k] * 2^(8i) * b[k,n]
+      ≡ sum_j 2^(8j) * ( sum_{k,i} ad_i[m,k] * td_{i,j}[k,n] )   (mod q)
+
+    so the digit contraction runs over (k, i) and emits only ``nd``
+    convolution columns instead of 2nd-1: 1.8x fewer MXU MACs, 1.8x less
+    column traffic, and a fold with one fewer Shoup group. The prescale
+    cost is O(k*n) — amortized over the m output rows.
+
+    rhs: pair of uint32 [L, S, k, n] -> int8 [L, S, k, n, nd(i), nd(j)].
+    """
+    rh, rl = rhs
+    L = rh.shape[0]
+    nd = ring.num_digits
+    sh = lambda a: a.reshape((L,) + (1,) * (rh.ndim - 1))
+    qh, ql = sh(jnp.asarray(ring.q_hi)), sh(jnp.asarray(ring.q_lo))
+    outs = []
+    for i in range(nd):
+        if i == 0:
+            th, tl = rh, rl
+        else:
+            th, tl = u.shoup_mul64_arr(
+                rh, rl,
+                sh(jnp.asarray(ring.pow_hi[:, i])),
+                sh(jnp.asarray(ring.pow_lo[:, i])),
+                sh(jnp.asarray(ring.pow_s64_hi[:, i])),
+                sh(jnp.asarray(ring.pow_s64_lo[:, i])),
+                qh, ql,
+            )
+        outs.append(digits(th, tl, nd))          # [L, S, k, n, nd(j)]
+    return jnp.stack(outs, axis=-2)              # [L, S, k, n, nd(i), nd(j)]
+
+
+def scaled_cols(lhs, rhs_scaled, ring: "RingPlan"):
+    """Digit matmul against a prescaled rhs: nd narrow columns.
+
+    lhs: pair [L, S, m, k]; rhs_scaled: int8 [L, S, k, n, nd, nd]
+    (from :func:`prescale_digits`) -> int32 columns [L, S, m, n, nd].
+    Column magnitude <= k * nd * 2^14 (int32-safe for k <= MAX_CONTRACTION).
+    """
+    lh, ll = lhs
+    L, S, m, k = lh.shape
+    n = rhs_scaled.shape[3]
+    nd = ring.num_digits
+    if k > MAX_CONTRACTION:
+        raise ValueError(f"contraction {k} exceeds int32 headroom {MAX_CONTRACTION}")
+    ld = digits(lh, ll, nd)                      # [L, S, m, k, nd(i)]
+    l2 = ld.reshape(L, S, m, k * nd)             # k-major, i-minor
+    r2 = jnp.transpose(rhs_scaled, (0, 1, 2, 4, 5, 3)).reshape(
+        L, S, k * nd, nd * n
+    )                                            # (k,i) x (j,n)
+    p = jax.lax.dot_general(
+        l2, r2,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32,
+    )                                            # [L, S, m, nd*n]
+    return jnp.transpose(p.reshape(L, S, m, nd, n), (0, 1, 2, 4, 3))
+
+
+def matmul_channels_scaled(lhs, rhs, ring: "RingPlan"):
+    """Scaled-digit variant of :func:`matmul_channels` — same exact
+    residues, ~1.8x fewer MACs and narrower columns than the banded form."""
+    return _fold_leading(scaled_cols(lhs, prescale_digits(rhs, ring), ring),
+                         ring)
+
+
 def matmul_channels_banded(lhs, rhs, ring: "RingPlan"):
     """Band-structured variant of :func:`matmul_channels`.
 

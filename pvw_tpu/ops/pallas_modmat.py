@@ -122,16 +122,23 @@ def _fused_banded_matmul(lhs_dig, band, tables, tile_m: int, tile_n: int,
     )(tables, lhs_dig, band)
 
 
-def _pack_tables(ring: "RingPlan") -> np.ndarray:
-    """Per-limb fold constants -> uint32 [L, 24] rows for SMEM."""
+def _pack_tables(ring: "RingPlan", ncols: int | None = None) -> np.ndarray:
+    """Per-limb fold constants -> uint32 [L, 24] rows for SMEM.
+
+    ``ncols`` selects the bias constant for folds over fewer columns than
+    the full 2nd-1 (the scaled-digit matmul folds only nd)."""
     L = ring.num_limbs
+    bias_hi, bias_lo = (
+        (ring.bias_hi, ring.bias_lo) if ncols is None
+        else ring.bias_pair_for_columns(ncols)
+    )
     t = np.zeros((L, 24), np.uint32)
     t[:, 0:4] = ring.grp_hi
     t[:, 4:8] = ring.grp_lo
     t[:, 8:12] = ring.grp_sh
     t[:, 12:16] = ring.grp_sl
-    t[:, 16] = ring.bias_hi
-    t[:, 17] = ring.bias_lo
+    t[:, 16] = bias_hi
+    t[:, 17] = bias_lo
     t[:, 18] = ring.q_hi
     t[:, 19] = ring.q_lo
     return t
@@ -150,9 +157,73 @@ def _build_band_cmajor(rd):
     return jnp.transpose(band, (0, 3, 1, 2, 4)).reshape(chn, C, k * nd, n)
 
 
+def _build_rhs_scaled(td):
+    """Prescaled rhs digits [CH, k, n, nd(i), nd(j)] int8 (from
+    :func:`pvw_tpu.ops.modmat.prescale_digits`, channels flattened) ->
+    [CH, nd(j), k*nd(i), n] — column index leading, dense (the scaled form
+    has no band sparsity)."""
+    ch, k, n, ndi, ndj = td.shape
+    return jnp.transpose(td, (0, 4, 1, 3, 2)).reshape(ch, ndj, k * ndi, n)
+
+
 # VMEM working-set budget for auto tile selection (v5e has ~16 MB/core;
 # leave headroom for double buffering).
 _VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _pick_tiles(m: int, n: int, kd: int, C: int):
+    """VMEM-aware (tile_m, tile_n) for a rhs block of C*kd*tile_n int8 +
+    lhs tile + 2 uint32 outputs. Returns None when nothing fits."""
+    tile_m, tile_n = 512, 256
+    while tile_n > 128 and C * kd * tile_n > _VMEM_BUDGET * 3 // 4:
+        tile_n //= 2
+    while (tile_m > 64 and
+           tile_m * kd + C * kd * tile_n + 8 * tile_m * tile_n > _VMEM_BUDGET):
+        tile_m //= 2
+    if C * kd * tile_n + tile_m * kd > _VMEM_BUDGET:
+        return None
+    return tile_m, tile_n
+
+
+def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan"):
+    """Fused modular matmul against a PRESCALED rhs (scaled-digit form).
+
+    lhs: pair [L, S, m, k]; rhs_scaled: int8 [L, S, k, n, nd, nd] from
+    :func:`pvw_tpu.ops.modmat.prescale_digits` -> pair [L, S, m, n].
+    Prescaling once and reusing across several lhs (A·r and B·r share r)
+    amortizes the Shoup prescale. Pallas on TPU; XLA fold elsewhere.
+    """
+    import os
+
+    from . import modmat
+
+    lh, ll = lhs
+    L, S, m, k = lh.shape
+    n = rhs_scaled.shape[3]
+    nd = ring.num_digits
+    kd = k * nd
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu or os.environ.get("PVW_NO_PALLAS"):
+        return modmat._fold_leading(
+            modmat.scaled_cols(lhs, rhs_scaled, ring), ring
+        )
+    tiles = _pick_tiles(m, n, kd, nd)
+    if tiles is None:
+        return modmat._fold_leading(
+            modmat.scaled_cols(lhs, rhs_scaled, ring), ring
+        )
+    tile_m, tile_n = tiles
+    tile_m = min(tile_m, m)
+    while m % tile_m:
+        tile_m //= 2
+    tile_n = min(tile_n, n)
+    while n % tile_n:
+        tile_n //= 2
+    ld = modmat.digits(lh, ll, nd).reshape(L * S, m, kd)
+    r2 = _build_rhs_scaled(rhs_scaled.reshape(L * S, k, n, nd, nd))
+    tables = jnp.repeat(jnp.asarray(_pack_tables(ring, nd)), S, axis=0)
+    oh, ol = _fused_banded_matmul(ld, r2, tables, tile_m, tile_n, False)
+    return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)
 
 
 def matmul_fold_auto(lhs, rhs, ring: "RingPlan"):

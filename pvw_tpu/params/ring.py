@@ -150,13 +150,20 @@ class RingPlan:
         # fold tables: pow[c] = 2^(8c) mod q, c in 0..C
         pow_vals = np.zeros((L, C), np.uint64)
         pow_sh32 = np.zeros((L, C), np.uint64)
+        pow_sh64 = np.zeros((L, C), object)
         for i, q in enumerate(moduli):
             for c in range(C):
                 w = pow(2, 8 * c, q)
                 pow_vals[i, c] = w
                 pow_sh32[i, c] = (w << 32) // q
+                pow_sh64[i, c] = (w << 64) // q
         self.pow_hi, self.pow_lo = u64op.split_u64_np(pow_vals)    # [L, C]
         self.pow_wp32 = pow_sh32.astype(np.uint32)                 # [L, C]
+        # 64-bit Shoup companions of 2^(8c) mod q — the scaled-digit
+        # matmul's prescale constants (see ops/modmat.py scaled path)
+        self.pow_s64_hi, self.pow_s64_lo = u64op.split_u64_np(
+            (pow_sh64 & np.uint64(0xFFFFFFFFFFFFFFFF)).astype(np.uint64)
+        )
         # grouped-fold tables: w_g = 2^(32g) mod q with 64-bit Shoup
         # companions, and the bias constant K = sum_c 2^31 * 2^(8c) mod q
         # (only ceil(C/4) groups are touched by the fold; keep 4 columns

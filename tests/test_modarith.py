@@ -151,6 +151,50 @@ class TestMatmul:
                 want[s] = (a[i, s].astype(object) @ b[i, s].astype(object)) % q
             np.testing.assert_array_equal(got[i].astype(object), want)
 
+    @pytest.mark.parametrize("moduli", [MODULI, BIG_MODULI])
+    def test_matmul_channels_scaled_exact(self, moduli):
+        """The scaled-digit form (prescale rhs by 2^(8i) mod q; nd narrow
+        columns) must produce bit-identical residues to matmul_channels."""
+        ring = RingPlan(moduli, 8)
+        L, S, m, k, n = ring.num_limbs, 3, 4, 5, 2
+        qs = np.array(moduli, np.uint64).reshape(L, 1, 1, 1)
+        a = (rand_u64((L, S, m, k)) % qs).astype(np.uint64)
+        b = (rand_u64((L, S, k, n)) % qs).astype(np.uint64)
+        ref = modmat.matmul_channels(pairs(a), pairs(b), ring)
+        got = modmat.matmul_channels_scaled(pairs(a), pairs(b), ring)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+
+    @pytest.mark.parametrize("moduli", [MODULI, BIG_MODULI])
+    def test_pallas_scaled_kernel_interpret(self, moduli):
+        """The fused Pallas scaled kernel (interpret mode off-TPU) matches
+        the XLA scaled path exactly at TPU-friendly tile shapes."""
+        from pvw_tpu.ops import pallas_modmat as pm
+
+        ring = RingPlan(moduli, 8)
+        nd = ring.num_digits
+        L, S, m, k, n = ring.num_limbs, 2, 128, 8, 128
+        qs = np.array(moduli, np.uint64).reshape(L, 1, 1, 1)
+        a = (rand_u64((L, S, m, k)) % qs).astype(np.uint64)
+        b = (rand_u64((L, S, k, n)) % qs).astype(np.uint64)
+        td = modmat.prescale_digits(pairs(b), ring)
+        ref = modmat._fold_leading(
+            modmat.scaled_cols(pairs(a), td, ring), ring
+        )
+        lh, ll = pairs(a)
+        ld = modmat.digits(lh, ll, nd).reshape(L * S, m, k * nd)
+        r2 = pm._build_rhs_scaled(np.asarray(td).reshape(L * S, k, n, nd, nd))
+        tables = jnp.repeat(jnp.asarray(pm._pack_tables(ring, nd)), S, axis=0)
+        oh, ol = pm._fused_banded_matmul(
+            ld, jnp.asarray(r2), tables, 64, 128, True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(oh).reshape(L, S, m, n), np.asarray(ref[0])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ol).reshape(L, S, m, n), np.asarray(ref[1])
+        )
+
     def test_poly_matmul_layout(self):
         ring = RingPlan(MODULI, 8)
         m, k, n, L, l = 3, 4, 2, ring.num_limbs, ring.degree
