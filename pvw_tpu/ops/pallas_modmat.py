@@ -166,23 +166,28 @@ def _build_rhs_scaled(td):
     return jnp.transpose(td, (0, 4, 1, 3, 2)).reshape(ch, ndj, k * ndi, n)
 
 
-# VMEM working-set budget for auto tile selection (v5e has ~16 MB/core;
-# leave headroom for double buffering).
-_VMEM_BUDGET = 10 * 1024 * 1024
+# Scoped-VMEM ceiling for auto tile selection. v5e has 16 MB/core; Mosaic
+# rejects programs whose stack exceeds it, so the cost model must count
+# what actually lives there: the in/out blocks TWICE (pipeline double
+# buffering) plus the kernel's u32 temporaries (4 accumulators + ~4
+# transient products per (tile_m, tile_n)).
+_VMEM_LIMIT = 15 * 1024 * 1024
+
+
+def _tile_cost(tile_m: int, tile_n: int, kd: int, C: int) -> int:
+    blocks = tile_m * kd + C * kd * tile_n + 8 * tile_m * tile_n
+    temps = 48 * tile_m * tile_n
+    return 2 * blocks + temps
 
 
 def _pick_tiles(m: int, n: int, kd: int, C: int):
-    """VMEM-aware (tile_m, tile_n) for a rhs block of C*kd*tile_n int8 +
-    lhs tile + 2 uint32 outputs. Returns None when nothing fits."""
-    tile_m, tile_n = 512, 256
-    while tile_n > 128 and C * kd * tile_n > _VMEM_BUDGET * 3 // 4:
-        tile_n //= 2
-    while (tile_m > 64 and
-           tile_m * kd + C * kd * tile_n + 8 * tile_m * tile_n > _VMEM_BUDGET):
-        tile_m //= 2
-    if C * kd * tile_n + tile_m * kd > _VMEM_BUDGET:
-        return None
-    return tile_m, tile_n
+    """Largest (tile_m, tile_n) whose double-buffered blocks + kernel
+    temporaries fit the scoped-VMEM ceiling. None when nothing fits."""
+    for tile_n in (256, 128):
+        for tile_m in (512, 256, 128, 64):
+            if _tile_cost(tile_m, tile_n, kd, C) <= _VMEM_LIMIT:
+                return tile_m, tile_n
+    return None
 
 
 def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan"):
@@ -248,17 +253,11 @@ def matmul_fold_auto(lhs, rhs, ring: "RingPlan"):
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu or os.environ.get("PVW_NO_PALLAS"):
         return modmat.matmul_channels_banded(lhs, rhs, ring)
-    # VMEM-aware tiles: band block C*kd*tn + lhs tile tm*kd + 2 outputs
-    tile_m, tile_n = 512, 256
-    while tile_n > 128 and C * kd * tile_n > _VMEM_BUDGET * 3 // 4:
-        tile_n //= 2
-    while (tile_m > 64 and
-           tile_m * kd + C * kd * tile_n + 8 * tile_m * tile_n > _VMEM_BUDGET):
-        tile_m //= 2
-    if C * kd * tile_n + tile_m * kd > _VMEM_BUDGET:
+    tiles = _pick_tiles(m, n, kd, C)
+    if tiles is None:
         return modmat.matmul_channels_banded(lhs, rhs, ring)  # band too wide
-    return matmul_channels_pallas(lhs, rhs, ring, tile_m=tile_m,
-                                  tile_n=tile_n, interpret=False)
+    return matmul_channels_pallas(lhs, rhs, ring, tile_m=tiles[0],
+                                  tile_n=tiles[1], interpret=False)
 
 
 def matmul_channels_pallas(lhs, rhs, ring: "RingPlan", tile_m: int = 256,
