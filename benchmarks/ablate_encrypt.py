@@ -1,6 +1,9 @@
 """Marginal-cost ablation of the fused encryption kernel: time variants
 with one stage removed to get TRUE fused costs (standalone stage timings
-overstate what fusion already hides). Run on TPU."""
+overstate what fusion already hides). Mirrors the structure of
+``pvw_tpu.crypto.encryption._encrypt_kernel`` (scaled-digit Pallas
+matmuls + separate error folds). Run on TPU:
+``python benchmarks/ablate_encrypt.py [batch]``."""
 import sys
 import time
 from functools import partial
@@ -13,9 +16,12 @@ import jax
 import jax.numpy as jnp
 
 from pvw_tpu.ops import modmat, ntt as ntt_ops, u64 as u64op
+from pvw_tpu.ops.pallas_modmat import matmul_fold_scaled
 from pvw_tpu.params.parameters import PvwParameters, PvwParametersBuilder
 from pvw_tpu.sampling.cbd import cbd_bound, sample_vec_cbd_rows
-from pvw_tpu.sampling.uniform import sample_uniform_signed_rows
+from pvw_tpu.sampling.uniform import (
+    sample_uniform_residues_rows, sample_uniform_signed_rows,
+)
 
 N, K, ELL = 4096, 256, 8
 D = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
@@ -41,10 +47,13 @@ def bench(name, fn, *args, iters=10):
 
 
 def make_kernel(params, *, with_e1=True, with_e2=True, with_encode=True,
-                with_transpose=True, with_c1=True, with_c2=True):
+                with_transpose=True, with_c1=True, with_c2=True,
+                with_sampling=True):
+    """Toggleable replica of ``_encrypt_kernel``. ``with_sampling=False``
+    replaces the error draws with zeros (keeps the fold/add structure)."""
     ring = params.ring
     k, n, l = params.k, params.n, params.l
-    L, C = ring.num_limbs, ring.num_columns
+    L = ring.num_limbs
 
     @partial(jax.jit, static_argnums=())
     def kern(a_hi, a_lo, b_hi, b_lo, sc_hi, sc_lo, key):
@@ -53,37 +62,50 @@ def make_kernel(params, *, with_e1=True, with_e2=True, with_encode=True,
         to_ch = lambda x: jnp.transpose(x, (2, 3, 0, 1))
         from_ch = lambda x: jnp.transpose(x, (2, 3, 0, 1))
 
-        r_coeffs = sample_vec_cbd_rows(k_r, 0, k, (d, l), params.secret_variance)
-        r_ntt = ntt_ops.ntt_forward_signed(r_coeffs, ring,
-                                           cbd_bound(params.secret_variance))
+        r_coeffs = sample_vec_cbd_rows(k_r, 0, k, (d, l),
+                                       params.secret_variance)
+        r_ntt = ntt_ops.ntt_forward_signed(
+            r_coeffs, ring, cbd_bound(params.secret_variance))
         r_ch = (jnp.transpose(r_ntt[0], (2, 3, 0, 1)),
                 jnp.transpose(r_ntt[1], (2, 3, 0, 1)))
+        r_scaled = modmat.prescale_digits(r_ch, ring)
 
-        def noise_cols(kk, rows, bound):
-            ec = sample_uniform_signed_rows(kk, 0, rows, (d, l), bound)
-            cols, _ = ntt_ops.ntt_forward_cols_signed(ec, ring, bound)
-            pad = C - cols.shape[-1]
-            return jnp.pad(cols, ((0, 0),) * (cols.ndim - 1) + ((0, pad),))
+        def noise_ntt(kk, rows, bound):
+            if not with_sampling:
+                z = jnp.zeros((rows, d, L, l), jnp.uint32)
+                return z, z
+            if ntt_ops.signed_digit_count(bound):
+                ec = sample_uniform_signed_rows(kk, 0, rows, (d, l), bound)
+                return ntt_ops.ntt_forward_signed(ec, ring, bound)
+            e = sample_uniform_residues_rows(kk, 0, rows, (d, l), bound, ring)
+            return ntt_ops.ntt_forward(e, ring)
+
+        qh4 = jnp.asarray(ring.q_hi).reshape(L, 1, 1, 1)
+        ql4 = jnp.asarray(ring.q_lo).reshape(L, 1, 1, 1)
 
         out = []
         if with_c1:
-            cols_ar = modmat.banded_cols(
-                (to_ch(a_hi), to_ch(a_lo)), r_ch, ring)
+            c1h, c1l = matmul_fold_scaled(
+                (to_ch(a_hi), to_ch(a_lo)), r_scaled, ring)
             if with_e1:
-                cols_ar = cols_ar + noise_cols(
-                    k_e1, k, params.error_bound_1).reshape(L, l, k, d, C)
-            c1h, c1l = modmat._fold_leading(cols_ar, ring)
+                e1h, e1l = noise_ntt(k_e1, k, params.error_bound_1)
+                c1h, c1l = u64op.addmod(
+                    c1h, c1l,
+                    jnp.transpose(e1h, (2, 3, 0, 1)),
+                    jnp.transpose(e1l, (2, 3, 0, 1)), qh4, ql4)
             if with_transpose:
                 out += [from_ch(c1h), from_ch(c1l)]
             else:
                 out += [c1h, c1l]
         if with_c2:
-            cols_br = modmat.banded_cols(
-                (to_ch(b_hi), to_ch(b_lo)), r_ch, ring)
+            c2h, c2l = matmul_fold_scaled(
+                (to_ch(b_hi), to_ch(b_lo)), r_scaled, ring)
             if with_e2:
-                cols_br = cols_br + noise_cols(
-                    k_e2, n, params.error_bound_2).reshape(L, l, n, d, C)
-            c2h, c2l = modmat._fold_leading(cols_br, ring)
+                e2h, e2l = noise_ntt(k_e2, n, params.error_bound_2)
+                c2h, c2l = u64op.addmod(
+                    c2h, c2l,
+                    jnp.transpose(e2h, (2, 3, 0, 1)),
+                    jnp.transpose(e2l, (2, 3, 0, 1)), qh4, ql4)
             if with_encode:
                 enc = modmat.shoup_scale_table(
                     (sc_hi, sc_lo), params.gadget_ntt,
@@ -94,17 +116,18 @@ def make_kernel(params, *, with_e1=True, with_e2=True, with_encode=True,
                 neg = (sc_hi >= jnp.uint32(1 << 31))[..., None, None]
                 eh = jnp.where(neg, wrap[0], enc[0])
                 el = jnp.where(neg, wrap[1], enc[1])
+                enc2 = (jnp.transpose(eh, (1, 0, 2, 3)),
+                        jnp.transpose(el, (1, 0, 2, 3)))
                 if with_transpose:
                     c2h, c2l = modmat.poly_add(
-                        (from_ch(c2h), from_ch(c2l)),
-                        (jnp.transpose(eh, (1, 0, 2, 3)),
-                         jnp.transpose(el, (1, 0, 2, 3))), ring)
+                        (from_ch(c2h), from_ch(c2l)), enc2, ring)
+                    out += [c2h, c2l]
                 else:
-                    c2h, c2l = modmat.poly_add(
-                        (c2h, c2l),
-                        (jnp.transpose(eh, (2, 3, 1, 0)),
-                         jnp.transpose(el, (2, 3, 1, 0))), ring)
-                out += [c2h, c2l]
+                    c2h, c2l = u64op.addmod(
+                        c2h, c2l,
+                        jnp.transpose(enc2[0], (2, 3, 0, 1)),
+                        jnp.transpose(enc2[1], (2, 3, 0, 1)), qh4, ql4)
+                    out += [c2h, c2l]
             else:
                 if with_transpose:
                     out += [from_ch(c2h), from_ch(c2l)]
@@ -120,13 +143,14 @@ def main():
     params = (PvwParametersBuilder().set_parties(N).set_dimension(K)
               .set_l(ELL).set_moduli(MODULI).set_secret_variance(0.5)
               .set_error_bounds_u32(b1, b2).build())
-    ring = params.ring
     rng = np.random.default_rng(0)
     qs = np.array(MODULI, np.uint64).reshape(-1, 1, 1, 1)
     a = rng.integers(0, 1 << 36, (len(MODULI), 1, K, K), dtype=np.uint64) % qs
     b = rng.integers(0, 1 << 36, (len(MODULI), 1, N, K), dtype=np.uint64) % qs
-    a = np.broadcast_to(np.moveaxis(a, (0, 1), (2, 3)), (K, K, len(MODULI), ELL)).copy()
-    b = np.broadcast_to(np.moveaxis(b, (0, 1), (2, 3)), (N, K, len(MODULI), ELL)).copy()
+    a = np.broadcast_to(np.moveaxis(a, (0, 1), (2, 3)),
+                        (K, K, len(MODULI), ELL)).copy()
+    b = np.broadcast_to(np.moveaxis(b, (0, 1), (2, 3)),
+                        (N, K, len(MODULI), ELL)).copy()
     ah, al = map(jnp.asarray, u64op.split_u64_np(a))
     bh, bl = map(jnp.asarray, u64op.split_u64_np(b))
     sc = rng.integers(0, 1 << 32, (D, N), dtype=np.uint64)
@@ -134,11 +158,13 @@ def main():
     key = jax.random.key(0)
     args = (ah, al, bh, bl, sch, scl, key)
 
-    print(f"config: n={N} k={K} l={ELL} batch={D}")
+    print(f"config: n={N} k={K} l={ELL} batch={D} "
+          f"bounds=({params.error_bound_1},{params.error_bound_2})")
     full = bench("full kernel", make_kernel(params), *args)
     for nm, kw in [
         ("no e2", dict(with_e2=False)),
         ("no e1", dict(with_e1=False)),
+        ("zero errors (no threefry/NTT)", dict(with_sampling=False)),
         ("no encode", dict(with_encode=False)),
         ("no output transpose", dict(with_transpose=False)),
         ("c2 only (no c1 branch)", dict(with_c1=False)),

@@ -133,21 +133,30 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
 
     # Structure, measured on v5e (benchmarks/ablate_encrypt.py + probes):
     # both matrix products run through the fused Pallas matmul+fold on
-    # TPU (the int32 column tensor never leaves VMEM; XLA banded
-    # elsewhere), and both errors fold to residues separately and addmod
-    # in. Column-accumulating the errors instead forces the full
-    # [L,l,rows,d,C] int32 column tensors of both operands through HBM —
-    # measured 7.5 ms (e2) + 1.9 ms (e1) slower per batch-1024 call.
-    # Error NTTs run on raw signed samples (1-2 digits, see ops/ntt.py
-    # small-coefficient path) when the bound allows.
+    # TPU (the int32 column tensor never leaves VMEM; XLA elsewhere).
+    # The errors ride INTO the same kernel as raw signed digit planes:
+    # the error NTT's scaled-digit columns are produced and consumed in
+    # VMEM (ring.ntt_scaled_tab contraction) — the separate NTT+addmod
+    # path wrote/read the [rows,d,L,l] residues plus a 2nd-1-column int32
+    # tensor through HBM, ~20 ms of the 39 ms batch-1024 call. The gadget
+    # encode addmods in the kernel epilogue (``post=``). Bounds too large
+    # for signed digits (> 32639) fall back to the residue path.
     from ..ops.pallas_modmat import matmul_fold_scaled
 
-    def _noise_ntt(kk, rows, bound):
-        if ntt_ops.signed_digit_count(bound):
-            ecoef = sample_uniform_signed_rows(kk, 0, rows, (d, l), bound)
-            return ntt_ops.ntt_forward_signed(ecoef, ring, bound)
+    def _noise_planes(kk, rows, bound):
+        """int8 signed-digit planes [l*jr, rows, d], or None (big bound)."""
+        jr = ntt_ops.signed_digit_count(bound)
+        if not jr:
+            return None
+        ecoef = sample_uniform_signed_rows(kk, 0, rows, (d, l), bound)
+        dig = ntt_ops._signed_digits(ecoef, jr)          # [rows, d, l, jr]
+        return jnp.transpose(dig, (2, 3, 0, 1)).reshape(l * jr, rows, d)
+
+    def _noise_residues_ch(kk, rows, bound):
         e = sample_uniform_residues_rows(kk, 0, rows, (d, l), bound, ring)
-        return ntt_ops.ntt_forward(e, ring)
+        eh, el = ntt_ops.ntt_forward(e, ring)            # [rows, d, L, l]
+        return (jnp.transpose(eh, (2, 3, 0, 1)),
+                jnp.transpose(el, (2, 3, 0, 1)))
 
     qh4 = jnp.asarray(ring.q_hi).reshape(L, 1, 1, 1)
     ql4 = jnp.asarray(ring.q_lo).reshape(L, 1, 1, 1)
@@ -158,47 +167,53 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
     r_scaled = modmat.prescale_digits(r_ch, ring)       # [L,l,k,d,nd,nd]
 
     # c1 = A·r + e1                                      (encryption.rs:156-173)
+    n1 = _noise_planes(k_e1, k, params.error_bound_1)
     c1h, c1l = matmul_fold_scaled(
-        (to_channels(a_hi), to_channels(a_lo)), r_scaled, ring
+        (to_channels(a_hi), to_channels(a_lo)), r_scaled, ring, noise=n1
     )                                                           # [L,l,k,d]
-    e1h, e1l = _noise_ntt(k_e1, k, params.error_bound_1)         # [k,d,L,l]
-    c1h, c1l = u64op.addmod(
-        c1h, c1l,
-        jnp.transpose(e1h, (2, 3, 0, 1)), jnp.transpose(e1l, (2, 3, 0, 1)),
-        qh4, ql4,
-    )
+    if n1 is None:
+        e1h, e1l = _noise_residues_ch(k_e1, k, params.error_bound_1)
+        c1h, c1l = u64op.addmod(c1h, c1l, e1h, e1l, qh4, ql4)
     c1 = (from_channels(c1h), from_channels(c1l))                # [k, d, L, l]
 
-    # c2 = B·r + encode(scalars) + e2                    (encryption.rs:175-200)
-    c2h, c2l = matmul_fold_scaled(
-        (to_channels(b_hi), to_channels(b_lo)), r_scaled, ring
-    )                                                           # [L,l,n,d]
-    e2h, e2l = _noise_ntt(k_e2, n, params.error_bound_2)         # [n,d,L,l]
-    c2h, c2l = u64op.addmod(
-        c2h, c2l,
-        jnp.transpose(e2h, (2, 3, 0, 1)), jnp.transpose(e2l, (2, 3, 0, 1)),
-        qh4, ql4,
-    )
     # encode: m·g in NTT domain via constant Shoup multiply; u64->i64 wrap
     # (encryption.rs:195) corrected by subtracting (2^64 mod q)·g.
-    # (A column-space encode was tried and is bit-identical but slower:
-    # the 15x column tensor costs more HBM traffic than the Shoup ops.)
-    enc = modmat.shoup_scale_table(
-        (sc_hi, sc_lo), params.gadget_ntt, params.gadget_ntt_shoup, ring
-    )                                                            # [d, n, L, l]
-    wrap_hi, wrap_lo = u64op.split_u64_np(params.gadget_wrap)    # [L, l]
-    wrap = modmat.poly_sub(
-        enc, (jnp.asarray(wrap_hi), jnp.asarray(wrap_lo)), ring
-    )
-    neg = (sc_hi >= jnp.uint32(1 << 31))[..., None, None]
-    enc_hi = jnp.where(neg, wrap[0], enc[0])
-    enc_lo = jnp.where(neg, wrap[1], enc[1])
-    enc = (jnp.transpose(enc_hi, (1, 0, 2, 3)),                  # [n, d, L, l]
-           jnp.transpose(enc_lo, (1, 0, 2, 3)))
-    c2 = modmat.poly_add(
-        (from_channels(c2h), from_channels(c2l)), enc, ring
-    )
+    # Emitted channel-major so it addmods inside the matmul epilogue.
+    enc_ch = _encode_channel_major(params, sc_hi, sc_lo, ring)   # [L,l,n,d]
+
+    # c2 = B·r + encode(scalars) + e2                    (encryption.rs:175-200)
+    n2 = _noise_planes(k_e2, n, params.error_bound_2)
+    c2h, c2l = matmul_fold_scaled(
+        (to_channels(b_hi), to_channels(b_lo)), r_scaled, ring,
+        noise=n2, post=enc_ch,
+    )                                                           # [L,l,n,d]
+    if n2 is None:
+        e2h, e2l = _noise_residues_ch(k_e2, n, params.error_bound_2)
+        c2h, c2l = u64op.addmod(c2h, c2l, e2h, e2l, qh4, ql4)
+    c2 = (from_channels(c2h), from_channels(c2l))                # [n, d, L, l]
     return c1[0], c1[1], c2[0], c2[1]
+
+
+def _encode_channel_major(params, sc_hi, sc_lo, ring):
+    """Gadget encode of u64 scalar pairs [d, n] -> residue pair
+    [L, l, n, d] (channel-major, ready for the matmul ``post=`` input).
+    Same math as ``shoup_scale_table`` + wrap-select (``encryption.rs:195``
+    semantics: scalars >= 2^63... the u64->i64 reinterpretation quirk is
+    handled by subtracting (2^64 mod q)·g when the high bit is set)."""
+    L = ring.num_limbs
+    xh = jnp.transpose(sc_hi)[None, None]                # [1, 1, n, d]
+    xl = jnp.transpose(sc_lo)[None, None]
+    exp = lambda t: jnp.asarray(t)[:, :, None, None]     # [L, l, 1, 1]
+    gh, gl = u64op.split_u64_np(params.gadget_ntt)
+    sh, sl = u64op.split_u64_np(params.gadget_ntt_shoup)
+    qh, ql = exp(ring.q_hi[:, None]), exp(ring.q_lo[:, None])
+    eh, el = u64op.shoup_mul64_arr(
+        xh, xl, exp(gh), exp(gl), exp(sh), exp(sl), qh, ql
+    )
+    wh_, wl_ = u64op.split_u64_np(params.gadget_wrap)
+    wh2, wl2 = u64op.submod(eh, el, exp(wh_), exp(wl_), qh, ql)
+    neg = (jnp.transpose(sc_hi) >= jnp.uint32(1 << 31))[None, None]
+    return jnp.where(neg, wh2, eh), jnp.where(neg, wl2, el)
 
 
 def _scalars_to_pairs(scalars) -> tuple[jax.Array, jax.Array]:

@@ -174,29 +174,177 @@ def _build_rhs_scaled(td):
 _VMEM_LIMIT = 15 * 1024 * 1024
 
 
-def _tile_cost(tile_m: int, tile_n: int, kd: int, C: int) -> int:
-    blocks = tile_m * kd + C * kd * tile_n + 8 * tile_m * tile_n
+def _tile_cost(tile_m: int, tile_n: int, kd: int, C: int,
+               extra_mn: int = 0) -> int:
+    blocks = (tile_m * kd + C * kd * tile_n
+              + (8 + extra_mn) * tile_m * tile_n)
     temps = 48 * tile_m * tile_n
     return 2 * blocks + temps
 
 
-def _pick_tiles(m: int, n: int, kd: int, C: int):
+def _pick_tiles(m: int, n: int, kd: int, C: int, extra_mn: int = 0):
     """Largest (tile_m, tile_n) whose double-buffered blocks + kernel
-    temporaries fit the scoped-VMEM ceiling. None when nothing fits."""
+    temporaries fit the scoped-VMEM ceiling. ``extra_mn``: bytes per
+    (tile_m x tile_n) element of additional blocks (noise digits, post-add
+    residues). None when nothing fits."""
     for tile_n in (256, 128):
         for tile_m in (512, 256, 128, 64):
-            if _tile_cost(tile_m, tile_n, kd, C) <= _VMEM_LIMIT:
+            if _tile_cost(tile_m, tile_n, kd, C, extra_mn) <= _VMEM_LIMIT:
                 return tile_m, tile_n
     return None
 
 
-def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan"):
+def _make_noise_body(has_post: bool):
+    """Kernel body for the noise-fused scaled matmul (grid (i, j, ch)).
+
+    Like :func:`_fold_kernel_body` but additionally (1) contracts a tile
+    of raw signed noise digits against the per-channel scaled-twiddle
+    table (the error NTT, computed in VMEM — its int32 columns never
+    exist in HBM) and adds it into the convolution columns pre-fold, and
+    (2) optionally addmods a residue pair (the gadget encode) post-fold.
+    """
+
+    def body(tables_ref, ntab_ref, lhs_ref, band_ref, noise_ref, *rest):
+        if has_post:
+            post_hi_ref, post_lo_ref, out_hi_ref, out_lo_ref = rest
+        else:
+            out_hi_ref, out_lo_ref = rest
+        tm = lhs_ref.shape[1]
+        n = out_hi_ref.shape[2]
+        C = band_ref.shape[1]
+        ljr = noise_ref.shape[0]
+        ch = pl.program_id(2)
+        t = tables_ref
+        qh, ql = t[ch, 18], t[ch, 19]
+        lhs = lhs_ref[0]
+
+        acc_h = jnp.zeros((tm, n), u.U32)
+        acc_l = jnp.zeros((tm, n), u.U32)
+        gh_acc = jnp.zeros((tm, n), u.U32)
+        gl_acc = jnp.zeros((tm, n), u.U32)
+        for c in range(C):
+            g, r = divmod(c, 4)
+            p_c = jax.lax.dot_general(
+                lhs, band_ref[0, c],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )                                           # [TM, n]
+            # int8->int32 convert inside the loop: hoisting ljr int32
+            # planes keeps 4*ljr bytes/elt live across the whole unrolled
+            # C loop and overflows scoped VMEM at deep digit widths
+            for rr in range(ljr):
+                p_c = p_c + noise_ref[rr].astype(jnp.int32) * ntab_ref[0, rr, c]
+            uc = (p_c + jnp.int32(-0x80000000)).astype(u.U32)
+            if r == 0:
+                th, tl = jnp.zeros_like(uc), uc
+            else:
+                th, tl = uc >> (32 - 8 * r), uc << (8 * r)
+            gh_acc, gl_acc = u.add64(gh_acc, gl_acc, th, tl)
+            if r == 3 or c == C - 1:
+                sh, sl = u.shoup_mul64_arr(
+                    gh_acc, gl_acc,
+                    t[ch, 0 + g], t[ch, 4 + g], t[ch, 8 + g], t[ch, 12 + g],
+                    qh, ql,
+                )
+                acc_h, acc_l = u.addmod(acc_h, acc_l, sh, sl, qh, ql)
+                gh_acc = jnp.zeros((tm, n), u.U32)
+                gl_acc = jnp.zeros((tm, n), u.U32)
+        oh, ol = u.submod(acc_h, acc_l, t[ch, 16], t[ch, 17], qh, ql)
+        if has_post:
+            oh, ol = u.addmod(oh, ol, post_hi_ref[0], post_lo_ref[0],
+                              qh, ql)
+        out_hi_ref[0] = oh
+        out_lo_ref[0] = ol
+
+    return body
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
+                               tile_m: int, tile_n: int, interpret: bool):
+    """lhs_dig int8 [CH, m, kd]; band int8 [CH, nd, kd, n]; tables uint32
+    [CH, 24]; ntab int32 [CH, ljr, nd]; noise int8 [ljr, m, n]; post
+    None or pair of uint32 [CH, m, n] -> (hi, lo) uint32 [CH, m, n].
+
+    Grid (m-tiles, n-tiles, CH) with CH innermost so the noise tile —
+    whose block index ignores the channel — is fetched once per (i, j).
+    """
+    ch, m, kd = lhs_dig.shape
+    n = band.shape[3]
+    C = band.shape[1]
+    ljr = noise.shape[0]
+    has_post = post is not None
+    grid = (m // tile_m, n // tile_n, ch)
+    mn_spec = lambda c_axis: pl.BlockSpec(
+        (1, tile_m, tile_n),
+        (lambda i, j, c: (c, i, j)) if c_axis else (lambda i, j, c: (0, i, j)),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # fold tables [CH, 24]
+        # ntt tab blocked per channel: the full [CH, ljr, nd] table
+        # SMEM-pads past the 1 MB scalar memory at deep chains (CH=272)
+        pl.BlockSpec((1, ljr, C), lambda i, j, c: (c, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, tile_m, kd), lambda i, j, c: (c, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C, kd, tile_n), lambda i, j, c: (c, 0, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ljr, tile_m, tile_n), lambda i, j, c: (0, i, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [tables, ntab, lhs_dig, band, noise]
+    if has_post:
+        in_specs += [mn_spec(True), mn_spec(True)]
+        operands += [post[0], post[1]]
+    out_shape = [
+        jax.ShapeDtypeStruct((ch, m, n), jnp.uint32),
+        jax.ShapeDtypeStruct((ch, m, n), jnp.uint32),
+    ]
+    oh, ol = pl.pallas_call(
+        _make_noise_body(has_post),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[mn_spec(True), mn_spec(True)],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*operands)
+    return oh, ol
+
+
+def _noise_cols_xla(noise, ring: "RingPlan"):
+    """XLA fallback of the in-kernel noise NTT: int8 noise digits
+    [ljr, m, n] -> int32 scaled-digit columns [L, S, m, n, nd]."""
+    ljr = noise.shape[0]
+    jr = ljr // ring.degree
+    tab = jnp.asarray(ring.ntt_scaled_tab(jr), jnp.int32)   # [L, S, ljr, nd]
+    return jnp.einsum(
+        "rmn,lsrc->lsmnc", noise.astype(jnp.int32), tab,
+        preferred_element_type=jnp.int32,
+    )
+
+
+def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
+                       post=None):
     """Fused modular matmul against a PRESCALED rhs (scaled-digit form).
 
     lhs: pair [L, S, m, k]; rhs_scaled: int8 [L, S, k, n, nd, nd] from
     :func:`pvw_tpu.ops.modmat.prescale_digits` -> pair [L, S, m, n].
     Prescaling once and reusing across several lhs (A·r and B·r share r)
     amortizes the Shoup prescale. Pallas on TPU; XLA fold elsewhere.
+
+    ``noise``: optional int8 signed-digit planes [l*jr, m, n] (layout
+    row j*jr+dd for coefficient j, digit dd — from the encryption error
+    sample). Requires S == ring.degree (channel s is the NTT point). The
+    kernel computes the noise NTT in VMEM via ``ring.ntt_scaled_tab`` and
+    adds it pre-fold: the result equals matmul + NTT(noise) mod q,
+    bit-identical to the separate NTT-then-addmod path, without the int32
+    column tensor ever touching HBM. Headroom: |matmul cols| <=
+    k*nd*2^14 and |noise cols| <= l*jr*2^14, both < 2^26 for every
+    supported config (DESIGN.md).
+
+    ``post``: optional residue pair [L, S, m, n] addmodded after the fold
+    (the gadget encode term of c2).
     """
     import os
 
@@ -207,16 +355,32 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan"):
     n = rhs_scaled.shape[3]
     nd = ring.num_digits
     kd = k * nd
+    if noise is not None and S != ring.degree:
+        raise ValueError("noise fusion requires the channel minor axis "
+                         "to be the NTT point axis (S == ring.degree)")
+
+    def _xla():
+        cols = modmat.scaled_cols(lhs, rhs_scaled, ring)
+        if noise is not None:
+            cols = cols + _noise_cols_xla(noise, ring)
+        oh, ol = modmat._fold_leading(cols, ring)
+        if post is not None:
+            qh = jnp.asarray(ring.q_hi).reshape(L, 1, 1, 1)
+            ql = jnp.asarray(ring.q_lo).reshape(L, 1, 1, 1)
+            oh, ol = u.addmod(oh, ol, post[0], post[1], qh, ql)
+        return oh, ol
+
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu or os.environ.get("PVW_NO_PALLAS"):
-        return modmat._fold_leading(
-            modmat.scaled_cols(lhs, rhs_scaled, ring), ring
-        )
-    tiles = _pick_tiles(m, n, kd, nd)
+        return _xla()
+    # extra blocks: noise digits (int8/plane, double-buffered via blocks
+    # term) + post pair; plus per-plane kernel temporaries (2B/elt each,
+    # measured against Mosaic's scoped-vmem accounting)
+    extra_mn = (0 if noise is None else 3 * noise.shape[0]) \
+        + (0 if post is None else 12)
+    tiles = _pick_tiles(m, n, kd, nd, extra_mn)
     if tiles is None:
-        return modmat._fold_leading(
-            modmat.scaled_cols(lhs, rhs_scaled, ring), ring
-        )
+        return _xla()
     tile_m, tile_n = tiles
     tile_m = min(tile_m, m)
     while m % tile_m:
@@ -227,7 +391,26 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan"):
     ld = modmat.digits(lh, ll, nd).reshape(L * S, m, kd)
     r2 = _build_rhs_scaled(rhs_scaled.reshape(L * S, k, n, nd, nd))
     tables = jnp.repeat(jnp.asarray(_pack_tables(ring, nd)), S, axis=0)
-    oh, ol = _fused_banded_matmul(ld, r2, tables, tile_m, tile_n, False)
+    if noise is None and post is None:
+        oh, ol = _fused_banded_matmul(ld, r2, tables, tile_m, tile_n, False)
+        return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)
+    if noise is None:
+        # post without noise: a zero one-plane noise input (cost ~0)
+        noise = jnp.zeros((1, m, n), jnp.int8)
+        ntab = jnp.zeros((L * S, 1, nd), jnp.int32)
+    else:
+        jr = noise.shape[0] // ring.degree
+        if noise.shape[0] != S * jr:
+            raise ValueError("noise digit planes must have l*jr rows")
+        ntab = jnp.asarray(
+            ring.ntt_scaled_tab(jr), jnp.int32
+        ).reshape(L * S, S * jr, nd)
+    post_ch = None
+    if post is not None:
+        post_ch = (post[0].reshape(L * S, m, n), post[1].reshape(L * S, m, n))
+    oh, ol = _fused_scaled_noise_matmul(
+        ld, r2, tables, ntab, noise, post_ch, tile_m, tile_n, False
+    )
     return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)
 
 

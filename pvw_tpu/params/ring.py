@@ -207,6 +207,34 @@ class RingPlan:
             )
         return self._band_jr_cache[key]
 
+    def ntt_scaled_tab(self, jr: int) -> np.ndarray:
+        """Scaled-twiddle digit table for the in-VMEM noise NTT
+        (:func:`pvw_tpu.ops.pallas_modmat.matmul_fold_scaled` ``noise=``):
+        int8 [L, l(out s), l*jr, nd], entry (i, s, j*jr+dd, c) = signed
+        digit c of ``fwd[s, j] * 2^(8*dd) mod q_i``.
+
+        A signed noise value v[j] = sum_dd d[j,dd]*2^(8*dd) contracted
+        against rows (j, dd) accumulates NTT(v)[s] directly into the
+        scaled-digit convolution columns (weight 2^(8c)) — the same
+        columns the scaled matmul folds, so adding them pre-fold yields
+        residues bit-identical to NTT-then-addmod."""
+        key = ("scaled-noise", jr)
+        if key not in self._band_jr_cache:
+            l, nd = self.degree, self.num_digits
+            out = np.zeros((self.num_limbs, l, l * jr, nd), np.int8)
+            for i, lp in enumerate(self.limbs):
+                q = lp.q
+                for dd in range(jr):
+                    scaled = np.zeros((l, l), np.uint64)
+                    w = pow(2, 8 * dd, q)
+                    for s in range(l):
+                        for j in range(l):
+                            scaled[s, j] = int(lp.ntt_fwd[s, j]) * w % q
+                    dig = _digits_np(scaled, nd)          # [l(s), l(j), nd]
+                    out[i, :, dd::jr, :] = dig
+            self._band_jr_cache[key] = out
+        return self._band_jr_cache[key]
+
     def bias_pair_for_columns(self, ncols: int):
         """Grouped-fold bias K = sum_{c<ncols} 2^31 * 2^(8c) mod q as
         (hi, lo) uint32 [L] — for folding column tensors narrower than the

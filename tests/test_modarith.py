@@ -195,6 +195,66 @@ class TestMatmul:
             np.asarray(ol).reshape(L, S, m, n), np.asarray(ref[1])
         )
 
+    @pytest.mark.parametrize("moduli,bound", [(MODULI, 50),
+                                              (BIG_MODULI, 2000)])
+    def test_noise_fused_matmul_exact(self, moduli, bound):
+        """The noise-fused scaled matmul (error NTT computed in-kernel
+        from signed digit planes + post-fold encode addmod) must be
+        bit-identical to matmul, NTT-then-addmod, then addmod — both the
+        XLA fallback and the Pallas kernel in interpret mode."""
+        from pvw_tpu.ops import ntt as ntt_ops
+        from pvw_tpu.ops import pallas_modmat as pm
+
+        ring = RingPlan(moduli, 8)
+        L, l, nd = ring.num_limbs, ring.degree, ring.num_digits
+        S, m, k, n = l, 8, 6, 4
+        rng = np.random.default_rng(7)
+        qs = np.array(moduli, np.uint64).reshape(L, 1, 1, 1)
+        a = (rand_u64((L, S, m, k)) % qs).astype(np.uint64)
+        b = (rand_u64((L, S, k, n)) % qs).astype(np.uint64)
+        pa, pb = pairs(a), pairs(b)
+        rs = modmat.prescale_digits(pb, ring)
+        ev = rng.integers(-bound, bound + 1, (m, n, l)).astype(np.int32)
+        post = (rand_u64((L, S, m, n)) % qs).astype(np.uint64)
+        pph, ppl = pairs(post)
+        # reference: separate NTT + two addmods
+        base = modmat._fold_leading(modmat.scaled_cols(pa, rs, ring), ring)
+        eh, el = ntt_ops.ntt_forward_signed(jnp.asarray(ev), ring, bound)
+        qh = jnp.asarray(ring.q_hi).reshape(L, 1, 1, 1)
+        ql = jnp.asarray(ring.q_lo).reshape(L, 1, 1, 1)
+        refh, refl = u.addmod(
+            base[0], base[1],
+            jnp.transpose(eh, (2, 3, 0, 1)), jnp.transpose(el, (2, 3, 0, 1)),
+            qh, ql,
+        )
+        refh, refl = u.addmod(refh, refl, pph, ppl, qh, ql)
+        jr = ntt_ops.signed_digit_count(bound)
+        dig = ntt_ops._signed_digits(jnp.asarray(ev), jr)
+        planes = jnp.transpose(dig, (2, 3, 0, 1)).reshape(l * jr, m, n)
+        # XLA fallback (off-TPU the public entry routes here)
+        goth, gotl = pm.matmul_fold_scaled(
+            pa, rs, ring, noise=planes, post=(pph, ppl)
+        )
+        np.testing.assert_array_equal(np.asarray(goth), np.asarray(refh))
+        np.testing.assert_array_equal(np.asarray(gotl), np.asarray(refl))
+        # Pallas kernel, interpret mode
+        ld = modmat.digits(pa[0], pa[1], nd).reshape(L * S, m, k * nd)
+        r2 = pm._build_rhs_scaled(np.asarray(rs).reshape(L * S, k, n, nd, nd))
+        tables = jnp.repeat(jnp.asarray(pm._pack_tables(ring, nd)), S, axis=0)
+        ntab = jnp.asarray(
+            ring.ntt_scaled_tab(jr), jnp.int32
+        ).reshape(L * S, l * jr, nd)
+        pch = (pph.reshape(L * S, m, n), ppl.reshape(L * S, m, n))
+        oh, ol = pm._fused_scaled_noise_matmul(
+            ld, jnp.asarray(r2), tables, ntab, planes, pch, 8, 4, True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(oh).reshape(L, S, m, n), np.asarray(refh)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ol).reshape(L, S, m, n), np.asarray(refl)
+        )
+
     def test_poly_matmul_layout(self):
         ring = RingPlan(MODULI, 8)
         m, k, n, L, l = 3, 4, 2, ring.num_limbs, ring.degree
