@@ -2,7 +2,7 @@
 with one stage removed to get TRUE fused costs (standalone stage timings
 overstate what fusion already hides). Mirrors the structure of
 ``pvw_tpu.crypto.encryption._encrypt_kernel`` (scaled-digit Pallas
-matmuls + separate error folds). Run on TPU:
+matmuls with IN-KERNEL noise NTT + encode addmod). Run on TPU:
 ``python benchmarks/ablate_encrypt.py [batch]``."""
 import sys
 import time
@@ -17,11 +17,10 @@ import jax.numpy as jnp
 
 from pvw_tpu.ops import modmat, ntt as ntt_ops, u64 as u64op
 from pvw_tpu.ops.pallas_modmat import matmul_fold_scaled
+from pvw_tpu.crypto.encryption import _encode_channel_major
 from pvw_tpu.params.parameters import PvwParameters, PvwParametersBuilder
 from pvw_tpu.sampling.cbd import cbd_bound, sample_vec_cbd_rows
-from pvw_tpu.sampling.uniform import (
-    sample_uniform_residues_rows, sample_uniform_signed_rows,
-)
+from pvw_tpu.sampling.uniform import sample_uniform_signed_rows
 
 N, K, ELL = 4096, 256, 8
 D = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
@@ -49,11 +48,11 @@ def bench(name, fn, *args, iters=10):
 def make_kernel(params, *, with_e1=True, with_e2=True, with_encode=True,
                 with_transpose=True, with_c1=True, with_c2=True,
                 with_sampling=True):
-    """Toggleable replica of ``_encrypt_kernel``. ``with_sampling=False``
-    replaces the error draws with zeros (keeps the fold/add structure)."""
+    """Toggleable replica of ``_encrypt_kernel`` (noise-fused form).
+    ``with_sampling=False`` feeds zero digit planes (keeps the in-kernel
+    contraction); ``with_eX=False`` omits the noise input entirely."""
     ring = params.ring
     k, n, l = params.k, params.n, params.l
-    L = ring.num_limbs
 
     @partial(jax.jit, static_argnums=())
     def kern(a_hi, a_lo, b_hi, b_lo, sc_hi, sc_lo, key):
@@ -70,69 +69,36 @@ def make_kernel(params, *, with_e1=True, with_e2=True, with_encode=True,
                 jnp.transpose(r_ntt[1], (2, 3, 0, 1)))
         r_scaled = modmat.prescale_digits(r_ch, ring)
 
-        def noise_ntt(kk, rows, bound):
+        def noise_planes(kk, rows, bound):
+            jr = ntt_ops.signed_digit_count(bound)
             if not with_sampling:
-                z = jnp.zeros((rows, d, L, l), jnp.uint32)
-                return z, z
-            if ntt_ops.signed_digit_count(bound):
-                ec = sample_uniform_signed_rows(kk, 0, rows, (d, l), bound)
-                return ntt_ops.ntt_forward_signed(ec, ring, bound)
-            e = sample_uniform_residues_rows(kk, 0, rows, (d, l), bound, ring)
-            return ntt_ops.ntt_forward(e, ring)
-
-        qh4 = jnp.asarray(ring.q_hi).reshape(L, 1, 1, 1)
-        ql4 = jnp.asarray(ring.q_lo).reshape(L, 1, 1, 1)
+                return jnp.zeros((l * jr, rows, d), jnp.int8)
+            ec = sample_uniform_signed_rows(kk, 0, rows, (d, l), bound)
+            dig = ntt_ops._signed_digits(ec, jr)
+            return jnp.transpose(dig, (2, 3, 0, 1)).reshape(l * jr, rows, d)
 
         out = []
         if with_c1:
+            n1 = (noise_planes(k_e1, k, params.error_bound_1)
+                  if with_e1 else None)
             c1h, c1l = matmul_fold_scaled(
-                (to_ch(a_hi), to_ch(a_lo)), r_scaled, ring)
-            if with_e1:
-                e1h, e1l = noise_ntt(k_e1, k, params.error_bound_1)
-                c1h, c1l = u64op.addmod(
-                    c1h, c1l,
-                    jnp.transpose(e1h, (2, 3, 0, 1)),
-                    jnp.transpose(e1l, (2, 3, 0, 1)), qh4, ql4)
+                (to_ch(a_hi), to_ch(a_lo)), r_scaled, ring, noise=n1)
             if with_transpose:
                 out += [from_ch(c1h), from_ch(c1l)]
             else:
                 out += [c1h, c1l]
         if with_c2:
+            enc_ch = (_encode_channel_major(params, sc_hi, sc_lo, ring)
+                      if with_encode else None)
+            n2 = (noise_planes(k_e2, n, params.error_bound_2)
+                  if with_e2 else None)
             c2h, c2l = matmul_fold_scaled(
-                (to_ch(b_hi), to_ch(b_lo)), r_scaled, ring)
-            if with_e2:
-                e2h, e2l = noise_ntt(k_e2, n, params.error_bound_2)
-                c2h, c2l = u64op.addmod(
-                    c2h, c2l,
-                    jnp.transpose(e2h, (2, 3, 0, 1)),
-                    jnp.transpose(e2l, (2, 3, 0, 1)), qh4, ql4)
-            if with_encode:
-                enc = modmat.shoup_scale_table(
-                    (sc_hi, sc_lo), params.gadget_ntt,
-                    params.gadget_ntt_shoup, ring)
-                wh, wl = u64op.split_u64_np(params.gadget_wrap)
-                wrap = modmat.poly_sub(
-                    enc, (jnp.asarray(wh), jnp.asarray(wl)), ring)
-                neg = (sc_hi >= jnp.uint32(1 << 31))[..., None, None]
-                eh = jnp.where(neg, wrap[0], enc[0])
-                el = jnp.where(neg, wrap[1], enc[1])
-                enc2 = (jnp.transpose(eh, (1, 0, 2, 3)),
-                        jnp.transpose(el, (1, 0, 2, 3)))
-                if with_transpose:
-                    c2h, c2l = modmat.poly_add(
-                        (from_ch(c2h), from_ch(c2l)), enc2, ring)
-                    out += [c2h, c2l]
-                else:
-                    c2h, c2l = u64op.addmod(
-                        c2h, c2l,
-                        jnp.transpose(enc2[0], (2, 3, 0, 1)),
-                        jnp.transpose(enc2[1], (2, 3, 0, 1)), qh4, ql4)
-                    out += [c2h, c2l]
+                (to_ch(b_hi), to_ch(b_lo)), r_scaled, ring,
+                noise=n2, post=enc_ch)
+            if with_transpose:
+                out += [from_ch(c2h), from_ch(c2l)]
             else:
-                if with_transpose:
-                    out += [from_ch(c2h), from_ch(c2l)]
-                else:
-                    out += [c2h, c2l]
+                out += [c2h, c2l]
         return tuple(out)
 
     return kern
@@ -162,9 +128,9 @@ def main():
           f"bounds=({params.error_bound_1},{params.error_bound_2})")
     full = bench("full kernel", make_kernel(params), *args)
     for nm, kw in [
-        ("no e2", dict(with_e2=False)),
+        ("no e2 (no noise input)", dict(with_e2=False)),
         ("no e1", dict(with_e1=False)),
-        ("zero errors (no threefry/NTT)", dict(with_sampling=False)),
+        ("zero noise (no threefry, keep kernel)", dict(with_sampling=False)),
         ("no encode", dict(with_encode=False)),
         ("no output transpose", dict(with_transpose=False)),
         ("c2 only (no c1 branch)", dict(with_c1=False)),
