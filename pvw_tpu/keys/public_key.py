@@ -40,15 +40,19 @@ def _batch_keygen_kernel(params: PvwParameters, a_hi, a_lo, coeffs, key,
     max |coefficient| (quantized by the caller to avoid recompiles).
     Returns (hi, lo) [p, k, L, l]. e1 rows are keyed by GLOBAL party index
     (stream v2), so chunking over parties is value-identical to one big
-    call. The s^T A columns and the NTT(e1) columns are accumulated in
-    int32 column space and folded once; the column producer auto-selects
-    banded vs standard by memory (the k x k band exceeds HBM for large
-    k*L*l). Secrets and errors take the small-coefficient NTT path when
-    their bounds allow (bit-identical values, fewer columns).
+    call. Same fused structure as the encryption kernel: the s^T A
+    product runs through the scaled-digit Pallas matmul with the e1 NTT
+    computed IN-KERNEL from signed digit planes (the prior column-space
+    accumulation materialized ~600 MB of int32 columns in HBM per call
+    and ran seconds instead of tens of ms at n=4096). Secrets take the
+    small-coefficient NTT path when their bound allows; errors whose
+    bound exceeds the signed-digit range fall back to NTT + addmod.
     """
+    from ..ops import u64 as u64op
+    from ..ops.pallas_modmat import matmul_fold_scaled
+
     ring = params.ring
     L, l, k = ring.num_limbs, ring.degree, params.k
-    C = ring.num_columns
     p = coeffs.shape[0]
     if ntt_ops.signed_digit_count(coeff_bound):
         sk_ntt = ntt_ops.ntt_forward_signed(coeffs, ring, coeff_bound)
@@ -57,26 +61,27 @@ def _batch_keygen_kernel(params: PvwParameters, a_hi, a_lo, coeffs, key,
             modmat.from_signed_coeffs(coeffs, ring), ring
         )
     to_ch = lambda x: jnp.transpose(x, (2, 3, 0, 1))
-    cols_ska = modmat.matmul_cols(
-        (to_ch(sk_ntt[0]), to_ch(sk_ntt[1])),
-        (to_ch(a_hi), to_ch(a_lo)),
-        ring,
-    )                                                  # [L, l, p, k, C]
+    a_scaled = modmat.prescale_digits((to_ch(a_hi), to_ch(a_lo)), ring)
     b1 = params.error_bound_1
-    if ntt_ops.signed_digit_count(b1):
+    jr = ntt_ops.signed_digit_count(b1)
+    noise = None
+    if jr:
         e1c = sample_uniform_signed_rows(key, row_offset, p, (k, l), b1)
-        cols_e1, _ = ntt_ops.ntt_forward_cols_signed(e1c, ring, b1)
-        pad = C - cols_e1.shape[-1]
-        if pad:
-            cols_e1 = jnp.pad(
-                cols_e1, ((0, 0),) * (cols_e1.ndim - 1) + ((0, pad),)
-            )
-    else:
+        dig = ntt_ops._signed_digits(e1c, jr)          # [p, k, l, jr]
+        noise = jnp.transpose(dig, (2, 3, 0, 1)).reshape(l * jr, p, k)
+    bh, bl = matmul_fold_scaled(
+        (to_ch(sk_ntt[0]), to_ch(sk_ntt[1])), a_scaled, ring, noise=noise
+    )                                                  # [L, l, p, k]
+    if noise is None:
         e1 = sample_uniform_residues_rows(key, row_offset, p, (k, l), b1, ring)
-        cols_e1, _ = ntt_ops.ntt_forward_cols(e1, ring)
-    bh, bl = modmat._fold_leading(
-        cols_ska + cols_e1.reshape(L, l, p, k, C), ring
-    )
+        e1h, e1l = ntt_ops.ntt_forward(e1, ring)       # [p, k, L, l]
+        qh4 = jnp.asarray(ring.q_hi).reshape(L, 1, 1, 1)
+        ql4 = jnp.asarray(ring.q_lo).reshape(L, 1, 1, 1)
+        bh, bl = u64op.addmod(
+            bh, bl,
+            jnp.transpose(e1h, (2, 3, 0, 1)), jnp.transpose(e1l, (2, 3, 0, 1)),
+            qh4, ql4,
+        )
     back = lambda x: jnp.transpose(x, (2, 3, 0, 1))    # -> [p, k, L, l]
     return back(bh), back(bl)
 
@@ -91,11 +96,15 @@ def _quantized_coeff_bound(coeffs: np.ndarray) -> int:
 
 
 def _keygen_chunk_size(params: PvwParameters) -> int:
-    """Parties per kernel call so the dominant intermediate (standard-path
-    [8p, 8k] int32 product or banded cols) stays within the budget."""
-    S = params.ring.num_limbs * params.ring.degree
-    per_party = 256 * params.k * S          # standard-path P bytes/party
-    return max(8, min(4096, modmat.COLS_BYTES_BUDGET // max(per_party, 1)))
+    """Parties per kernel call so the dominant intermediates stay within
+    budget. On the fused Pallas path those are the digitized lhs
+    (S*k*nd int8/party), the noise planes, and the output pair
+    (S*k*8 B/party); the XLA fallback additionally materializes the nd
+    scaled columns (S*k*nd*4 B/party) — sized for the worst case."""
+    ring = params.ring
+    S = ring.num_limbs * ring.degree
+    per_party = S * params.k * (5 * ring.num_digits + 10)
+    return max(8, min(8192, modmat.COLS_BYTES_BUDGET // max(per_party, 1)))
 
 
 class Party:
@@ -308,13 +317,21 @@ class GlobalPublicKey:
                                                        params.k))
             b = Poly(hi, lo, Representation.Ntt, params.ring) + errors
             bh, bl = b.hi, b.lo
-        idx = jnp.asarray(indices, jnp.int32)
-        self.matrix = Poly(
-            self.matrix.hi.at[idx].set(bh),
-            self.matrix.lo.at[idx].set(bl),
-            Representation.Ntt,
-            params.ring,
-        )
+        # contiguous index blocks take a slice-update (or a straight
+        # replacement when the batch covers all n rows) — XLA scatter on
+        # the [n, k, L, l] matrix measured ~2.8 s at n=4096 vs ~ms here
+        contiguous = indices == list(range(indices[0], indices[0] + len(indices)))
+        if contiguous and len(indices) == params.n:
+            mh, ml = bh, bl
+        elif contiguous:
+            start = (indices[0],) + (0,) * (self.matrix.hi.ndim - 1)
+            mh = jax.lax.dynamic_update_slice(self.matrix.hi, bh, start)
+            ml = jax.lax.dynamic_update_slice(self.matrix.lo, bl, start)
+        else:
+            idx = jnp.asarray(indices, jnp.int32)
+            mh = self.matrix.hi.at[idx].set(bh)
+            ml = self.matrix.lo.at[idx].set(bl)
+        self.matrix = Poly(mh, ml, Representation.Ntt, params.ring)
         for i in indices:
             if i >= self.num_keys:
                 self.num_keys = i + 1
