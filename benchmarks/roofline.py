@@ -68,21 +68,26 @@ def main() -> None:
     print(f"NTT: batch={batch} polys x {L} limbs, l={l}: {dt*1e3:.3f} ms "
           f"-> {limb_ops/1e9:.2f} G limb-ops/s", flush=True)
 
-    # --- modular matmul MAC rate ---------------------------------------
-    N, K, D = 4096, 256, 64
+    # --- modular matmul MAC rate (production fused kernel, B·r shape) ---
+    from pvw_tpu.ops.pallas_modmat import matmul_fold_scaled
+
+    N, K, D = 4096, 256, 1024
     qs4 = np.array(MODULI, np.uint64).reshape(L, 1, 1, 1)
     b = rng.integers(0, 1 << 62, (L, l, N, K), dtype=np.uint64) % qs4
     r = rng.integers(0, 1 << 62, (L, l, K, D), dtype=np.uint64) % qs4
     bp = tuple(map(jnp.asarray, u.split_u64_np(b)))
     rp = tuple(map(jnp.asarray, u.split_u64_np(r)))
-    mm = jax.jit(partial(modmat.matmul_channels_banded, ring=ring))
-    dt = pipeline_time(lambda: mm(bp, rp))
-    modmuls = L * l * N * K * D / dt
     nd, C = ring.num_digits, ring.num_columns
-    macs = modmuls * nd * C
+    prescale = jax.jit(partial(modmat.prescale_digits, ring=ring))
+    rs = prescale(rp)
+    _sync(rs)
+    mm = jax.jit(partial(matmul_fold_scaled, ring=ring))
+    dt = pipeline_time(lambda: mm(bp, rs))
+    modmuls = L * l * N * K * D / dt
+    macs = modmuls * nd * nd  # scaled form: nd^2 int8 MACs per modmul
     results["matmul_modmul_per_s"] = modmuls
     results["matmul_int8_macs_per_s"] = macs
-    print(f"matmul [{N}x{K}]x[{K}x{D}] x {L*l} channels (nd={nd}, C={C}): "
+    print(f"matmul [{N}x{K}]x[{K}x{D}] x {L*l} channels (scaled, nd={nd}): "
           f"{dt*1e3:.3f} ms -> {modmuls/1e9:.2f} G modmul/s "
           f"({macs/1e12:.2f} T int8 MAC/s vs ~394 T peak)", flush=True)
 
