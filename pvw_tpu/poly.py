@@ -26,6 +26,25 @@ from .params.ring import RingPlan
 from .utils.chacha import uniform_residues_from_seeds
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(0, 1))
+def _random_residues_jit(ring: RingPlan, batch: tuple, key: jax.Array):
+    """Uniform residues [*batch, L, l] as one compiled program — eager
+    per-op dispatch compiled ~30 tiny kernels over the remote tunnel and
+    took ~90 s cold at the CRS shape; this is one compile of ~1 s."""
+    from .sampling.uniform import sample_bounded_u64
+
+    shape = tuple(batch) + (ring.degree,)
+    his, los = [], []
+    for i, q in enumerate(ring.moduli):
+        vh, vl = sample_bounded_u64(jax.random.fold_in(key, i), shape, q)
+        his.append(vh)
+        los.append(vl)
+    return jnp.stack(his, axis=-2), jnp.stack(los, axis=-2)
+
+
 class Representation(str, Enum):
     """``fhe_math::rq::Representation`` (PowerBasis / Ntt; NttShoup is not
     used by the reference — ``parameters.rs`` note in SURVEY.md §2.3)."""
@@ -71,16 +90,7 @@ class Poly:
         """Uniform element(s) of R_q (``Poly::random``, ``crs.rs:32``),
         sampled on device from a threefry key. The residues are uniform in
         [0, q_i) up to statistical distance < 2^-66 per value."""
-        from .sampling.uniform import sample_bounded_u64
-
-        shape = batch + (ring.degree,)
-        his, los = [], []
-        for i, q in enumerate(ring.moduli):
-            vh, vl = sample_bounded_u64(jax.random.fold_in(key, i), shape, q)
-            his.append(vh)
-            los.append(vl)
-        hi = jnp.stack(his, axis=-2)
-        lo = jnp.stack(los, axis=-2)
+        hi, lo = _random_residues_jit(ring, batch, key)
         return cls(hi, lo, rep, ring)
 
     @classmethod
