@@ -30,11 +30,17 @@ def _check_variance(variance: float) -> None:
         raise SamplingError("The variance should be between 0.5 and 16")
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(1, 2))
 def sample_vec_cbd(key: jax.Array, shape: tuple[int, ...], variance: float):
     """Return int32 array of ``shape`` with CBD(variance) samples.
 
     ``variance`` must be 0.5 (ternary) or effectively-integer in [1, 16]
     (the reference truncates ``variance as usize``, ``uniform.rs:47``).
+    Jitted (static shape/variance): called eagerly it would dispatch each
+    op through a separate remote compile on the tunnel backend.
     """
     _check_variance(variance)
     if abs(float(variance) - 0.5) < 1e-6:
