@@ -136,6 +136,24 @@ class Party:
         return self.secret_key
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _single_pk_kernel(params: PvwParameters, a_hi, a_lo, coeffs, key):
+    """One party's b = s^T A + e as a single program. Identical values to
+    the eager Poly-op chain: from_coefficients -> NTT -> poly_matmul,
+    128-bit bounded-uniform error -> NTT, modular add."""
+    from ..poly import Poly as _Poly
+    from ..poly import Representation as _Rep
+
+    ring = params.ring
+    sk = _Poly.from_coefficients(coeffs, ring).to_ntt()
+    hi, lo = modmat.poly_matmul(
+        (sk.hi[None], sk.lo[None]), (a_hi, a_lo), ring
+    )
+    errors = params.sample_error_1(key, batch=(params.k,))
+    b = _Poly(hi[0], lo[0], _Rep.Ntt, ring) + errors
+    return b.hi, b.lo, errors.hi, errors.lo
+
+
 class PublicKey:
     """One party's k public-key polynomials (``public_key.rs:29-35``)."""
 
@@ -148,10 +166,22 @@ class PublicKey:
         cls, secret_key: SecretKey, crs: PvwCrs, key: jax.Array
     ) -> tuple["PublicKey", Poly]:
         """b = s^T A + e with e ~ U[-B1, B1]^l per component
-        (``public_key.rs:111-147``). Returns (public_key, error_polys)."""
+        (``public_key.rs:111-147``). Returns (public_key, error_polys).
+
+        The device branch runs as ONE jitted program (the eager chain of
+        Poly ops cost ~0.6 s/party in per-op tunnel dispatches; values are
+        identical — same primitives, same key stream)."""
         if secret_key.params.k != crs.params.k:
             raise DimensionMismatch(crs.params.k, secret_key.params.k)
         params = secret_key.params
+        if params.error_bound_1 < min(params.ring.moduli):
+            bh, bl, eh, el = _single_pk_kernel(
+                params, crs.matrix.hi, crs.matrix.lo,
+                jnp.asarray(secret_key.secret_coeffs, jnp.int32), key,
+            )
+            errors = Poly(eh, el, Representation.Ntt, params.ring)
+            return cls(Poly(bh, bl, Representation.Ntt, params.ring),
+                       params), errors
         sk_a = crs.multiply_by_secret_key(secret_key)           # Poly (k,)
         errors = params.sample_error_1(key, batch=(params.k,))  # Poly (k,)
         b = sk_a + errors
