@@ -18,8 +18,8 @@ Module map (mirrors ``src/lib.rs:14-19``):
                  reference's only parallelism is a rayon thread pool)
 """
 
-from . import crypto, errors, keys, params, sampling  # noqa: F401
-from .errors import PvwError
+from . import crypto, errors, keys, params, sampling, traits  # noqa: F401
+from .errors import PvwError, PvwResult
 from .poly import Poly, Representation
 from .params import PvwCrs, PvwParameters, PvwParametersBuilder, RingPlan
 from .keys import GlobalPublicKey, Party, PublicKey, SecretKey
@@ -36,6 +36,13 @@ from .crypto import (
     encrypt_party_shares,
     select_valid_ciphertexts,
 )
+from .sampling import (  # noqa: F401  (root re-exports, lib.rs:22-28)
+    sample_bigint_normal_vec,
+    sample_discrete_gaussian_vec,
+    sample_uniform_coefficients,
+    sample_vec_cbd,
+)
+from .traits import Encode, Serialize, Validate  # noqa: F401
 
 __version__ = "0.1.0"
 
@@ -44,14 +51,20 @@ __version__ = "0.1.0"
 class prelude:
     from .keys import GlobalPublicKey, Party, PublicKey, SecretKey
     from .params import PvwCrs, PvwParameters, PvwParametersBuilder
-    from .errors import PvwError
+    from .errors import PvwError, PvwResult
     from .crypto import (
         PvwCiphertext,
         decrypt_party_shares,
         decrypt_party_value,
         encrypt,
     )
-    from .sampling import sample_bigint_normal_vec, sample_discrete_gaussian_vec
+    from .sampling import (
+        sample_bigint_normal_vec,
+        sample_discrete_gaussian_vec,
+        sample_uniform_coefficients,
+        sample_vec_cbd,
+    )
+    from .traits import Encode, Serialize, Validate
 
 
 def demo_roundtrip(verbose: bool = True) -> bool:
