@@ -17,10 +17,21 @@ from typing import Optional
 import numpy as np
 import jax
 
+from functools import partial
+
+import jax.numpy as jnp
+
 from ..errors import InvalidParameters, SamplingError
 from ..params.parameters import PvwParameters
-from ..poly import Poly
+from ..params.ring import RingPlan
+from ..poly import Poly, Representation
 from ..sampling.cbd import sample_vec_cbd
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _sk_ntt_jit(ring: RingPlan, coeffs):
+    p = Poly.from_coefficients(coeffs, ring).to_ntt()
+    return p.hi, p.lo
 
 
 class SecretKey:
@@ -56,11 +67,14 @@ class SecretKey:
 
     def to_polynomials(self) -> Poly:
         """All k polynomials as one NTT-rep Poly batch (k,)
-        (``secret_key.rs:72-85``)."""
+        (``secret_key.rs:72-85``). One jitted program (the eager
+        from_coefficients -> NTT chain cost seconds of per-op dispatch on
+        the tunnel backend); cached per key."""
         if self._poly_cache is None:
-            self._poly_cache = Poly.from_coefficients(
-                self.secret_coeffs, self.params.ring
-            ).to_ntt()
+            hi, lo = _sk_ntt_jit(self.params.ring,
+                                 jnp.asarray(self.secret_coeffs))
+            self._poly_cache = Poly(hi, lo, Representation.Ntt,
+                                    self.params.ring)
         return self._poly_cache
 
     def get_polynomial(self, index: int) -> Poly:
