@@ -42,7 +42,9 @@ from ..sampling.uniform import (
     sample_uniform_residues_rows,
     sample_uniform_signed_rows,
 )
-from ..crypto.encryption import PvwCiphertext, _scalars_to_pairs
+from ..crypto.encryption import (
+    PvwCiphertext, _encode_channel_major, _scalars_to_pairs,
+)
 
 
 def make_mesh(devices=None, kdim: int | None = None) -> Mesh:
@@ -93,9 +95,24 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         e = sample_uniform_residues_rows(kk, row_off, rows, (d, l), bound, ring)
         return ntt_ops.ntt_forward(e, ring)
 
+    from ..ops.pallas_modmat import matmul_fold_scaled
+
+    def _noise_planes(kk, row_off, rows, bound):
+        """int8 digit planes [l*jr, rows, d] for the in-kernel noise NTT,
+        or None when the bound exceeds the signed-digit range. Same
+        row-keyed stream as _noise_ntt (bit-identical values)."""
+        jr = ntt_ops.signed_digit_count(bound)
+        if not jr:
+            return None
+        ec = sample_uniform_signed_rows(kk, row_off, rows, (d, l), bound)
+        dig = ntt_ops._signed_digits(ec, jr)
+        return jnp.transpose(dig, (2, 3, 0, 1)).reshape(l * jr, rows, d)
+
     def shard_fn(a_hi, a_lo, b_hi, b_lo, sc_hi, sc_lo, key):
         k_r, k_e1, k_e2 = jax.random.split(key, 3)
         my_k = jax.lax.axis_index("kdim")
+        to_ch = lambda x: jnp.transpose(x, (2, 3, 0, 1))
+        from_ch = lambda x: jnp.transpose(x, (2, 3, 0, 1))
 
         # r: row-keyed streams ("stream v2") — this shard samples ONLY its
         # k-block; rows are keyed by global row index so the values are
@@ -106,34 +123,50 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         rb_hi, rb_lo = ntt_ops.ntt_forward_signed(
             r_coeffs, ring, cbd_bound(params.secret_variance)
         )
+        # prescale the local r block once; both local products reuse it
+        # (same fused Pallas kernel as the single-device path)
+        r_scaled = modmat.prescale_digits(
+            (to_ch(rb_hi), to_ch(rb_lo)), ring
+        )
+        whole_k = kd == 1  # contraction local -> noise/encode can fuse
+
+        # encode local scalars (sc sharded over recv on axis 1),
+        # channel-major [L, l, nl, d] for the kernel post-add
+        enc_ch = _encode_channel_major(params, sc_hi, sc_lo, ring)
 
         # c1 partial over the local k block, then gather+addmod over kdim
-        c1p = modmat.poly_matmul((a_hi, a_lo), (rb_hi, rb_lo), ring)
+        n1 = _noise_planes(k_e1, 0, k, params.error_bound_1) if whole_k \
+            else None
+        c1p_ch = matmul_fold_scaled(
+            (to_ch(a_hi), to_ch(a_lo)), r_scaled, ring, noise=n1
+        )
+        c1p = (from_ch(c1p_ch[0]), from_ch(c1p_ch[1]))
         c1_hi, c1_lo = _modsum_gathered(c1p[0], c1p[1], ring, "kdim")
-        e1 = _noise_ntt(k_e1, 0, k, params.error_bound_1)
-        c1 = modmat.poly_add((c1_hi, c1_lo), e1, ring)
+        c1 = (c1_hi, c1_lo)
+        if n1 is None:
+            e1 = _noise_ntt(k_e1, 0, k, params.error_bound_1)
+            c1 = modmat.poly_add(c1, e1, ring)
 
-        # c2: local receiver rows x local k block
-        c2p = modmat.poly_matmul((b_hi, b_lo), (rb_hi, rb_lo), ring)
-        c2_hi, c2_lo = _modsum_gathered(c2p[0], c2p[1], ring, "kdim")
-
-        # encode local scalars (sc sharded over recv on axis 1)
-        enc = modmat.shoup_scale_table(
-            (sc_hi, sc_lo), params.gadget_ntt, params.gadget_ntt_shoup, ring
-        )                                                       # [d, nl, L, l]
-        wrap_hi, wrap_lo = u64op.split_u64_np(params.gadget_wrap)
-        wrap = modmat.poly_sub(enc, (jnp.asarray(wrap_hi), jnp.asarray(wrap_lo)), ring)
-        neg = (sc_hi >= jnp.uint32(1 << 31))[..., None, None]
-        enc_hi = jnp.where(neg, wrap[0], enc[0])
-        enc_lo = jnp.where(neg, wrap[1], enc[1])
-        enc = (jnp.transpose(enc_hi, (1, 0, 2, 3)),
-               jnp.transpose(enc_lo, (1, 0, 2, 3)))             # [nl, d, L, l]
-
-        # e2: row-keyed — sample only this shard's receiver rows
+        # c2: local receiver rows x local k block; e2 row-keyed over this
+        # shard's receiver rows
         my_r = jax.lax.axis_index("recv")
         nl = b_hi.shape[0]
-        e2 = _noise_ntt(k_e2, my_r * nl, nl, params.error_bound_2)
-        c2 = modmat.poly_add(modmat.poly_add((c2_hi, c2_lo), enc, ring), e2, ring)
+        n2 = _noise_planes(k_e2, my_r * nl, nl, params.error_bound_2) \
+            if whole_k else None
+        c2p_ch = matmul_fold_scaled(
+            (to_ch(b_hi), to_ch(b_lo)), r_scaled, ring, noise=n2,
+            post=enc_ch if whole_k else None,
+        )
+        c2p = (from_ch(c2p_ch[0]), from_ch(c2p_ch[1]))
+        c2_hi, c2_lo = _modsum_gathered(c2p[0], c2p[1], ring, "kdim")
+        c2 = (c2_hi, c2_lo)
+        if not whole_k:
+            enc = (jnp.transpose(enc_ch[0], (2, 3, 0, 1)),     # [nl, d, L, l]
+                   jnp.transpose(enc_ch[1], (2, 3, 0, 1)))
+            c2 = modmat.poly_add(c2, enc, ring)
+        if n2 is None:
+            e2 = _noise_ntt(k_e2, my_r * nl, nl, params.error_bound_2)
+            c2 = modmat.poly_add(c2, e2, ring)
         return c1[0], c1[1], c2[0], c2[1]
 
     return jax.shard_map(
