@@ -255,6 +255,41 @@ class TestMatmul:
             np.asarray(ol).reshape(L, S, m, n), np.asarray(refl)
         )
 
+    def test_noise_kernel_post_only_interpret(self):
+        """The Pallas kernel's post-only branch (zero noise planes + the
+        encode addmod) matches matmul-then-addmod exactly."""
+        from pvw_tpu.ops import pallas_modmat as pm
+
+        ring = RingPlan(MODULI, 8)
+        L, l, nd = ring.num_limbs, ring.degree, ring.num_digits
+        S, m, k, n = l, 8, 6, 4
+        qs = np.array(MODULI, np.uint64).reshape(L, 1, 1, 1)
+        a = (rand_u64((L, S, m, k)) % qs).astype(np.uint64)
+        b = (rand_u64((L, S, k, n)) % qs).astype(np.uint64)
+        pa = pairs(a)
+        rs = modmat.prescale_digits(pairs(b), ring)
+        post = (rand_u64((L, S, m, n)) % qs).astype(np.uint64)
+        pph, ppl = pairs(post)
+        base = modmat._fold_leading(modmat.scaled_cols(pa, rs, ring), ring)
+        qh = jnp.asarray(ring.q_hi).reshape(L, 1, 1, 1)
+        ql = jnp.asarray(ring.q_lo).reshape(L, 1, 1, 1)
+        refh, refl = u.addmod(base[0], base[1], pph, ppl, qh, ql)
+        ld = modmat.digits(pa[0], pa[1], nd).reshape(L * S, m, k * nd)
+        r2 = pm._build_rhs_scaled(np.asarray(rs).reshape(L * S, k, n, nd, nd))
+        tables = jnp.repeat(jnp.asarray(pm._pack_tables(ring, nd)), S, axis=0)
+        ntab = jnp.zeros((L * S, 1, nd), jnp.int32)
+        zero_noise = jnp.zeros((1, m, n), jnp.int8)
+        pch = (pph.reshape(L * S, m, n), ppl.reshape(L * S, m, n))
+        oh, ol = pm._fused_scaled_noise_matmul(
+            ld, jnp.asarray(r2), tables, ntab, zero_noise, pch, 8, 4, True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(oh).reshape(L, S, m, n), np.asarray(refh)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ol).reshape(L, S, m, n), np.asarray(refl)
+        )
+
     def test_poly_matmul_layout(self):
         ring = RingPlan(MODULI, 8)
         m, k, n, L, l = 3, 4, 2, ring.num_limbs, ring.degree
