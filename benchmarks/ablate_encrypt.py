@@ -71,11 +71,11 @@ def make_kernel(params, *, with_e1=True, with_e2=True, with_encode=True,
 
         def noise_planes(kk, rows, bound):
             jr = ntt_ops.signed_digit_count(bound)
+            if not jr:
+                return None  # residue-path bounds: not mirrored here
             if not with_sampling:
                 return jnp.zeros((l * jr, rows, d), jnp.int8)
-            ec = sample_uniform_signed_rows(kk, 0, rows, (d, l), bound)
-            dig = ntt_ops._signed_digits(ec, jr)
-            return jnp.transpose(dig, (2, 3, 0, 1)).reshape(l * jr, rows, d)
+            return ntt_ops.noise_digit_planes(kk, 0, rows, d, l, bound)
 
         out = []
         if with_c1:

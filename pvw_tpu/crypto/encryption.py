@@ -145,12 +145,7 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
 
     def _noise_planes(kk, rows, bound):
         """int8 signed-digit planes [l*jr, rows, d], or None (big bound)."""
-        jr = ntt_ops.signed_digit_count(bound)
-        if not jr:
-            return None
-        ecoef = sample_uniform_signed_rows(kk, 0, rows, (d, l), bound)
-        dig = ntt_ops._signed_digits(ecoef, jr)          # [rows, d, l, jr]
-        return jnp.transpose(dig, (2, 3, 0, 1)).reshape(l * jr, rows, d)
+        return ntt_ops.noise_digit_planes(kk, 0, rows, d, l, bound)
 
     def _noise_residues_ch(kk, rows, bound):
         e = sample_uniform_residues_rows(kk, 0, rows, (d, l), bound, ring)

@@ -63,12 +63,7 @@ def _batch_keygen_kernel(params: PvwParameters, a_hi, a_lo, coeffs, key,
     to_ch = lambda x: jnp.transpose(x, (2, 3, 0, 1))
     a_scaled = modmat.prescale_digits((to_ch(a_hi), to_ch(a_lo)), ring)
     b1 = params.error_bound_1
-    jr = ntt_ops.signed_digit_count(b1)
-    noise = None
-    if jr:
-        e1c = sample_uniform_signed_rows(key, row_offset, p, (k, l), b1)
-        dig = ntt_ops._signed_digits(e1c, jr)          # [p, k, l, jr]
-        noise = jnp.transpose(dig, (2, 3, 0, 1)).reshape(l * jr, p, k)
+    noise = ntt_ops.noise_digit_planes(key, row_offset, p, k, l, b1)
     bh, bl = matmul_fold_scaled(
         (to_ch(sk_ntt[0]), to_ch(sk_ntt[1])), a_scaled, ring, noise=noise
     )                                                  # [L, l, p, k]
@@ -347,13 +342,18 @@ class GlobalPublicKey:
                                                        params.k))
             b = Poly(hi, lo, Representation.Ntt, params.ring) + errors
             bh, bl = b.hi, b.lo
-        # contiguous index blocks take a slice-update (or a straight
-        # replacement when the batch covers all n rows) — XLA scatter on
-        # the [n, k, L, l] matrix measured ~2.8 s at n=4096 vs ~ms here
+        # contiguous in-range index blocks take a slice-update (or a
+        # straight replacement when the batch covers rows 0..n-1) — XLA
+        # scatter on the [n, k, L, l] matrix measured ~2.8 s at n=4096 vs
+        # ~ms here. Out-of-range indices fall back to scatter, which drops
+        # them (the pre-optimization behavior; dynamic_update_slice would
+        # clamp and misplace rows instead).
         contiguous = indices == list(range(indices[0], indices[0] + len(indices)))
-        if contiguous and len(indices) == params.n:
+        in_range = indices and 0 <= indices[0] and indices[-1] < params.n
+        if contiguous and in_range and indices[0] == 0 \
+                and len(indices) == params.n:
             mh, ml = bh, bl
-        elif contiguous:
+        elif contiguous and in_range:
             start = (indices[0],) + (0,) * (self.matrix.hi.ndim - 1)
             mh = jax.lax.dynamic_update_slice(self.matrix.hi, bh, start)
             ml = jax.lax.dynamic_update_slice(self.matrix.lo, bl, start)

@@ -120,6 +120,27 @@ def _signed_digits(c, jr: int):
     return jnp.stack([d0.astype(jnp.int8), d1.astype(jnp.int8)], axis=-1)
 
 
+def noise_digit_planes(key, row_offset, num_rows: int, cols: int, l: int,
+                       bound: int):
+    """Row-keyed bounded-uniform noise as int8 signed digit planes
+    [l*jr, num_rows, cols] — the layout contract of the in-kernel noise
+    NTT (row j*jr+dd for coefficient j, digit dd; must match
+    ``RingPlan.ntt_scaled_tab``). Returns None when the bound exceeds the
+    signed-digit range (callers fall back to the residue path). Shared by
+    the encryption kernel, batch keygen, and the sharded kernel."""
+    import jax.numpy as _jnp
+
+    from ..sampling.uniform import sample_uniform_signed_rows
+
+    jr = signed_digit_count(bound)
+    if not jr:
+        return None
+    ec = sample_uniform_signed_rows(key, row_offset, num_rows, (cols, l),
+                                    bound)
+    dig = _signed_digits(ec, jr)                   # [rows, cols, l, jr]
+    return _jnp.transpose(dig, (2, 3, 0, 1)).reshape(l * jr, num_rows, cols)
+
+
 def ntt_forward_cols_signed(coeffs, ring: "RingPlan", max_abs: int):
     """Forward NTT of small signed coefficients as unfolded columns.
 

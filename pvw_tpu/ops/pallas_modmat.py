@@ -36,53 +36,91 @@ if TYPE_CHECKING:
     from ..params.ring import RingPlan
 
 
-def _fold_kernel_body(tables_ref, lhs_ref, band_ref, out_hi_ref, out_lo_ref):
-    """One (channel, m-tile) program.
+def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool):
+    """Factory for the fused matmul+fold kernel bodies.
 
-    tables_ref: uint32 [CH, 24] (SMEM): per-channel fold constants packed
-        as [grp_hi(4) | grp_lo(4) | grp_sh(4) | grp_sl(4) | bias_hi,
-        bias_lo, q_hi, q_lo, pad...].
-    lhs_ref:  int8 [1, TM, 8k] (VMEM)
-    band_ref: int8 [1, 15, 8k, n] (VMEM) — per-column banded rhs digits
-    out_*:    uint32 [1, TM, n]
+    All variants share the grouped-Shoup fold (the same exact arithmetic
+    as :func:`pvw_tpu.ops.u64.fold_columns_grouped`): bias each int32
+    column by +2^31, accumulate groups of four columns in a u64 pair,
+    Shoup-multiply each group by 2^(32g) mod q, and subtract the bias
+    constant K. Options:
+
+    - ``ch_axis``: grid axis carrying the channel index.
+    - ``has_noise``: contract a tile of raw signed noise digit planes
+      against the per-channel scaled-twiddle table (the error NTT,
+      computed in VMEM — its int32 columns never exist in HBM) and add it
+      into the convolution columns pre-fold.
+    - ``has_post``: addmod a residue pair (the gadget encode) post-fold.
+
+    Ref order: tables [CH, 24] u32 SMEM; (ntab [1, ljr, C] i32 SMEM if
+    has_noise); lhs [1, TM, kd] i8; band [1, C, kd, TN] i8;
+    (noise [ljr, TM, TN] i8 if has_noise); (post hi/lo [1, TM, TN] u32 if
+    has_post); outputs hi/lo [1, TM, TN] u32.
     """
-    tm = lhs_ref.shape[1]
-    n = out_hi_ref.shape[2]
-    C = band_ref.shape[1]
-    ch = pl.program_id(0)
-    t = tables_ref
-    qh, ql = t[ch, 18], t[ch, 19]
-    lhs = lhs_ref[0]
 
-    acc_h = jnp.zeros((tm, n), u.U32)
-    acc_l = jnp.zeros((tm, n), u.U32)
-    gh_acc = jnp.zeros((tm, n), u.U32)
-    gl_acc = jnp.zeros((tm, n), u.U32)
-    for c in range(C):
-        g, r = divmod(c, 4)
-        p_c = jax.lax.dot_general(
-            lhs, band_ref[0, c],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )                                           # [TM, n]
-        uc = (p_c + jnp.int32(-0x80000000)).astype(u.U32)   # bias +2^31
-        if r == 0:
-            th, tl = jnp.zeros_like(uc), uc
-        else:
-            th, tl = uc >> (32 - 8 * r), uc << (8 * r)
-        gh_acc, gl_acc = u.add64(gh_acc, gl_acc, th, tl)
-        if r == 3 or c == C - 1:
-            sh, sl = u.shoup_mul64_arr(
-                gh_acc, gl_acc,
-                t[ch, 0 + g], t[ch, 4 + g], t[ch, 8 + g], t[ch, 12 + g],
-                qh, ql,
-            )
-            acc_h, acc_l = u.addmod(acc_h, acc_l, sh, sl, qh, ql)
-            gh_acc = jnp.zeros((tm, n), u.U32)
-            gl_acc = jnp.zeros((tm, n), u.U32)
-    oh, ol = u.submod(acc_h, acc_l, t[ch, 16], t[ch, 17], qh, ql)
-    out_hi_ref[0] = oh
-    out_lo_ref[0] = ol
+    def body(tables_ref, *refs):
+        refs = list(refs)
+        ntab_ref = refs.pop(0) if has_noise else None
+        lhs_ref = refs.pop(0)
+        band_ref = refs.pop(0)
+        noise_ref = refs.pop(0) if has_noise else None
+        if has_post:
+            post_hi_ref, post_lo_ref = refs.pop(0), refs.pop(0)
+        out_hi_ref, out_lo_ref = refs
+        tm = lhs_ref.shape[1]
+        n = out_hi_ref.shape[2]
+        C = band_ref.shape[1]
+        ch = pl.program_id(ch_axis)
+        t = tables_ref
+        qh, ql = t[ch, 18], t[ch, 19]
+        lhs = lhs_ref[0]
+
+        acc_h = jnp.zeros((tm, n), u.U32)
+        acc_l = jnp.zeros((tm, n), u.U32)
+        gh_acc = jnp.zeros((tm, n), u.U32)
+        gl_acc = jnp.zeros((tm, n), u.U32)
+        for c in range(C):
+            g, r = divmod(c, 4)
+            p_c = jax.lax.dot_general(
+                lhs, band_ref[0, c],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )                                           # [TM, n]
+            if has_noise:
+                # int8->int32 convert inside the loop: hoisting ljr int32
+                # planes keeps 4*ljr bytes/elt live across the whole
+                # unrolled C loop and overflows scoped VMEM at deep digit
+                # widths
+                for rr in range(noise_ref.shape[0]):
+                    p_c = p_c + (noise_ref[rr].astype(jnp.int32)
+                                 * ntab_ref[0, rr, c])
+            uc = (p_c + jnp.int32(-0x80000000)).astype(u.U32)  # bias +2^31
+            if r == 0:
+                th, tl = jnp.zeros_like(uc), uc
+            else:
+                th, tl = uc >> (32 - 8 * r), uc << (8 * r)
+            gh_acc, gl_acc = u.add64(gh_acc, gl_acc, th, tl)
+            if r == 3 or c == C - 1:
+                sh, sl = u.shoup_mul64_arr(
+                    gh_acc, gl_acc,
+                    t[ch, 0 + g], t[ch, 4 + g], t[ch, 8 + g], t[ch, 12 + g],
+                    qh, ql,
+                )
+                acc_h, acc_l = u.addmod(acc_h, acc_l, sh, sl, qh, ql)
+                gh_acc = jnp.zeros((tm, n), u.U32)
+                gl_acc = jnp.zeros((tm, n), u.U32)
+        oh, ol = u.submod(acc_h, acc_l, t[ch, 16], t[ch, 17], qh, ql)
+        if has_post:
+            oh, ol = u.addmod(oh, ol, post_hi_ref[0], post_lo_ref[0],
+                              qh, ql)
+        out_hi_ref[0] = oh
+        out_lo_ref[0] = ol
+
+    return body
+
+
+# plain banded variant: grid (ch, i, j), no noise, no post
+_fold_kernel_body = _make_fold_body(0, False, False)
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5))
@@ -195,68 +233,9 @@ def _pick_tiles(m: int, n: int, kd: int, C: int, extra_mn: int = 0):
 
 
 def _make_noise_body(has_post: bool):
-    """Kernel body for the noise-fused scaled matmul (grid (i, j, ch)).
-
-    Like :func:`_fold_kernel_body` but additionally (1) contracts a tile
-    of raw signed noise digits against the per-channel scaled-twiddle
-    table (the error NTT, computed in VMEM — its int32 columns never
-    exist in HBM) and adds it into the convolution columns pre-fold, and
-    (2) optionally addmods a residue pair (the gadget encode) post-fold.
-    """
-
-    def body(tables_ref, ntab_ref, lhs_ref, band_ref, noise_ref, *rest):
-        if has_post:
-            post_hi_ref, post_lo_ref, out_hi_ref, out_lo_ref = rest
-        else:
-            out_hi_ref, out_lo_ref = rest
-        tm = lhs_ref.shape[1]
-        n = out_hi_ref.shape[2]
-        C = band_ref.shape[1]
-        ljr = noise_ref.shape[0]
-        ch = pl.program_id(2)
-        t = tables_ref
-        qh, ql = t[ch, 18], t[ch, 19]
-        lhs = lhs_ref[0]
-
-        acc_h = jnp.zeros((tm, n), u.U32)
-        acc_l = jnp.zeros((tm, n), u.U32)
-        gh_acc = jnp.zeros((tm, n), u.U32)
-        gl_acc = jnp.zeros((tm, n), u.U32)
-        for c in range(C):
-            g, r = divmod(c, 4)
-            p_c = jax.lax.dot_general(
-                lhs, band_ref[0, c],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )                                           # [TM, n]
-            # int8->int32 convert inside the loop: hoisting ljr int32
-            # planes keeps 4*ljr bytes/elt live across the whole unrolled
-            # C loop and overflows scoped VMEM at deep digit widths
-            for rr in range(ljr):
-                p_c = p_c + noise_ref[rr].astype(jnp.int32) * ntab_ref[0, rr, c]
-            uc = (p_c + jnp.int32(-0x80000000)).astype(u.U32)
-            if r == 0:
-                th, tl = jnp.zeros_like(uc), uc
-            else:
-                th, tl = uc >> (32 - 8 * r), uc << (8 * r)
-            gh_acc, gl_acc = u.add64(gh_acc, gl_acc, th, tl)
-            if r == 3 or c == C - 1:
-                sh, sl = u.shoup_mul64_arr(
-                    gh_acc, gl_acc,
-                    t[ch, 0 + g], t[ch, 4 + g], t[ch, 8 + g], t[ch, 12 + g],
-                    qh, ql,
-                )
-                acc_h, acc_l = u.addmod(acc_h, acc_l, sh, sl, qh, ql)
-                gh_acc = jnp.zeros((tm, n), u.U32)
-                gl_acc = jnp.zeros((tm, n), u.U32)
-        oh, ol = u.submod(acc_h, acc_l, t[ch, 16], t[ch, 17], qh, ql)
-        if has_post:
-            oh, ol = u.addmod(oh, ol, post_hi_ref[0], post_lo_ref[0],
-                              qh, ql)
-        out_hi_ref[0] = oh
-        out_lo_ref[0] = ol
-
-    return body
+    """Noise-fused scaled-matmul body (grid (i, j, ch)); see
+    :func:`_make_fold_body`."""
+    return _make_fold_body(2, True, has_post)
 
 
 @partial(jax.jit, static_argnums=(6, 7, 8))
@@ -275,9 +254,8 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
     ljr = noise.shape[0]
     has_post = post is not None
     grid = (m // tile_m, n // tile_n, ch)
-    mn_spec = lambda c_axis: pl.BlockSpec(
-        (1, tile_m, tile_n),
-        (lambda i, j, c: (c, i, j)) if c_axis else (lambda i, j, c: (0, i, j)),
+    mn_spec = lambda: pl.BlockSpec(
+        (1, tile_m, tile_n), lambda i, j, c: (c, i, j),
         memory_space=pltpu.VMEM,
     )
     in_specs = [
@@ -295,7 +273,7 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
     ]
     operands = [tables, ntab, lhs_dig, band, noise]
     if has_post:
-        in_specs += [mn_spec(True), mn_spec(True)]
+        in_specs += [mn_spec(), mn_spec()]
         operands += [post[0], post[1]]
     out_shape = [
         jax.ShapeDtypeStruct((ch, m, n), jnp.uint32),
@@ -305,7 +283,7 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
         _make_noise_body(has_post),
         grid=grid,
         in_specs=in_specs,
-        out_specs=[mn_spec(True), mn_spec(True)],
+        out_specs=[mn_spec(), mn_spec()],
         out_shape=out_shape,
         interpret=interpret,
     )(*operands)

@@ -101,12 +101,7 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         """int8 digit planes [l*jr, rows, d] for the in-kernel noise NTT,
         or None when the bound exceeds the signed-digit range. Same
         row-keyed stream as _noise_ntt (bit-identical values)."""
-        jr = ntt_ops.signed_digit_count(bound)
-        if not jr:
-            return None
-        ec = sample_uniform_signed_rows(kk, row_off, rows, (d, l), bound)
-        dig = ntt_ops._signed_digits(ec, jr)
-        return jnp.transpose(dig, (2, 3, 0, 1)).reshape(l * jr, rows, d)
+        return ntt_ops.noise_digit_planes(kk, row_off, rows, d, l, bound)
 
     def shard_fn(a_hi, a_lo, b_hi, b_lo, sc_hi, sc_lo, key):
         k_r, k_e1, k_e2 = jax.random.split(key, 3)
