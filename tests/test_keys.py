@@ -186,6 +186,35 @@ class TestGlobalPublicKey:
         g2.generate_all_party_keys(parties, jax.random.key(5))
         assert np.array_equal(g1.matrix.residues_np(), g2.matrix.residues_np())
 
+    def test_batch_keygen_index_placement(self):
+        """The slice-update/replacement fast paths must place rows by
+        INDEX like the scatter path did: a contiguous block not starting
+        at 0 lands at its indices (row 0 untouched), and a shifted
+        full-length block (indices 1..n, one out of range) must NOT take
+        the whole-matrix replacement — the out-of-range row is dropped."""
+        p = make_params()
+        crs = PvwCrs.new(p, jax.random.key(0))
+        sks = [Party.new(i, p, jax.random.fold_in(jax.random.key(1), i))
+               .secret_key for i in range(p.n)]
+        # partial contiguous block [1, 2] — slice-update path
+        part = GlobalPublicKey(crs)
+        part._batch_generate(sks[1:3], [1, 2], jax.random.key(5),
+                             record_errors=False)
+        got = part.matrix.residues_np()
+        assert np.all(got[0] == 0)  # row 0 untouched
+        assert np.any(got[1] != 0) and np.any(got[2] != 0)
+        # shifted full-length block [1..n] (index n out of range): must
+        # fall back to scatter semantics — rows 1..n-1 written, row 0
+        # untouched, index n dropped (NOT a whole-matrix replacement that
+        # would shift every key into the wrong row)
+        shifted = GlobalPublicKey(crs)
+        shifted._batch_generate(sks, list(range(1, p.n + 1)),
+                                jax.random.key(5), record_errors=False)
+        sg = shifted.matrix.residues_np()
+        assert np.all(sg[0] == 0)
+        for i in range(1, p.n):
+            assert np.any(sg[i] != 0)
+
     def test_num_keys_quirk(self):
         """public_key.rs:244-247: adding only party 2 marks keys 0-2 present."""
         p = make_params()
