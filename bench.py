@@ -9,10 +9,12 @@ Primary metric (BASELINE.json): encryptions/sec at n=4096 receivers
 vs_baseline: the reference publishes NO numbers (BASELINE.md) and this
 image has no Rust toolchain to measure pvw-rs directly, so the baseline is
 the analytic 64-core estimate recorded in BASELINE.md (§"CPU baseline
-estimate"): ~1200 encryptions/sec, from the 17.8M NTT-domain u64 modmuls
-per encryption at ~3 ns each over 64 cores, cross-checked against the
-134 MB/encryption memory-traffic bound. Replace with a measured number
-when a Rust toolchain is available.
+estimate"): ~1200 encryptions/sec. A measured cross-check now backs it:
+`native/pvw_cpu_baseline.cpp` reimplements the reference's encryption hot
+loop in optimized C++ and measures 11.6 ns/modmul (Barrett, the fhe-math
+path) / 6.9 ns/modmul (Shoup upper bound) on this host — extrapolating to
+64 perfect-scaling cores gives 310-524 enc/s, so 1200 is GENEROUS to the
+reference by >= 2x (see BASELINE.md §"Measured cross-check").
 
 Secondary diagnostics go to stderr.
 """
