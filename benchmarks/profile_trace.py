@@ -1,0 +1,99 @@
+"""Capture a jax.profiler device trace of the fused encryption kernel and
+print per-op device times (parsed from the xplane protobuf via
+tensorboard_plugin_profile). Run on TPU:
+``python benchmarks/profile_trace.py [batch]``."""
+
+import glob
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+
+N, K, ELL = 4096, 256, 8
+D = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+MODULI = (0xFFFFC4001, 0x1FFFFE0001)
+TRACE_DIR = "/tmp/pvw_trace"
+
+
+def main():
+    from pvw_tpu.crypto.encryption import _encrypt_kernel, _scalars_to_pairs
+    from pvw_tpu.ops import u64 as u64op
+    from pvw_tpu.params.parameters import PvwParameters, PvwParametersBuilder
+
+    b1, b2 = PvwParameters.suggest_error_bounds(N, K, ELL, MODULI, 0.5)
+    params = (PvwParametersBuilder().set_parties(N).set_dimension(K)
+              .set_l(ELL).set_moduli(MODULI).set_secret_variance(0.5)
+              .set_error_bounds_u32(b1, b2).build())
+    rng = np.random.default_rng(0)
+    qs = np.array(MODULI, np.uint64).reshape(-1, 1, 1, 1)
+    a = rng.integers(0, 1 << 36, (len(MODULI), 1, K, K), np.uint64) % qs
+    b = rng.integers(0, 1 << 36, (len(MODULI), 1, N, K), np.uint64) % qs
+    a = np.broadcast_to(np.moveaxis(a, (0, 1), (2, 3)),
+                        (K, K, len(MODULI), ELL)).copy()
+    b = np.broadcast_to(np.moveaxis(b, (0, 1), (2, 3)),
+                        (N, K, len(MODULI), ELL)).copy()
+    import jax.numpy as jnp
+
+    # device-resident operands: numpy args would re-upload the 134 MB key
+    # matrix through the tunnel on EVERY call (~1.1 s/call measured)
+    ah, al = map(jnp.asarray, u64op.split_u64_np(a))
+    bh, bl = map(jnp.asarray, u64op.split_u64_np(b))
+    sc = rng.integers(0, 1 << 32, (D, N), np.uint64)
+    sch, scl = _scalars_to_pairs(sc)
+    key = jax.random.key(0)
+
+    def run(i):
+        return _encrypt_kernel(params, ah, al, bh, bl, sch, scl,
+                               jax.random.fold_in(key, i))
+
+    out = run(0)
+    np.asarray(out[0][:1])  # warm compile + sync
+    t0 = time.time()
+    for i in range(1, 6):
+        out = run(i)
+    np.asarray(out[0][:1])
+    print(f"steady-state: {(time.time()-t0)/5*1000:.2f} ms/batch-{D}")
+
+    os.system(f"rm -rf {TRACE_DIR}")
+    with jax.profiler.trace(TRACE_DIR):
+        for i in range(6, 9):
+            out = run(i)
+        np.asarray(out[0][:1])
+
+    # ---- parse xplane for device op durations ----
+    paths = glob.glob(f"{TRACE_DIR}/**/*.xplane.pb", recursive=True)
+    if not paths:
+        print("no xplane produced; trace dir:", os.listdir(TRACE_DIR))
+        return
+    from tensorboard_plugin_profile.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(max(paths, key=os.path.getmtime), "rb") as f:
+        xs.ParseFromString(f.read())
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name:
+            continue
+        evmeta = {m.id: m.name for m in plane.event_metadata.values()}
+        totals = {}
+        for line in plane.lines:
+            if "XLA Ops" not in line.name and "Steps" not in line.name \
+                    and "XLA Modules" not in line.name:
+                continue
+            for ev in line.events:
+                nm = evmeta.get(ev.metadata_id, "?")
+                key2 = (line.name, nm)
+                tot, cnt = totals.get(key2, (0, 0))
+                totals[key2] = (tot + ev.duration_ps, cnt + 1)
+        print(f"== plane: {plane.name}")
+        for (ln, nm), (tot, cnt) in sorted(totals.items(),
+                                           key=lambda kv: -kv[1][0])[:40]:
+            print(f"  [{ln}] {nm[:90]:90s} {tot/1e9:9.3f} ms  x{cnt}")
+
+
+if __name__ == "__main__":
+    main()

@@ -36,14 +36,23 @@ if TYPE_CHECKING:
     from ..params.ring import RingPlan
 
 
-def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool):
+def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
+                    use_words: bool = False):
     """Factory for the fused matmul+fold kernel bodies.
 
-    All variants share the grouped-Shoup fold (the same exact arithmetic
-    as :func:`pvw_tpu.ops.u64.fold_columns_grouped`): bias each int32
-    column by +2^31, accumulate groups of four columns in a u64 pair,
-    Shoup-multiply each group by 2^(32g) mod q, and subtract the bias
-    constant K. Options:
+    All variants bias each int32 column by +2^31 and accumulate groups of
+    four columns in a u64 pair. The recombination of the groups comes in
+    two exact flavors:
+
+    - grouped fold (``use_words=False``, any modulus): Shoup-multiply each
+      u64 group by 2^(32g) mod q (:func:`pvw_tpu.ops.u64.
+      fold_columns_grouped`);
+    - word fold (``use_words=True``, requires q > 2^32 per limb —
+      ``ring.fold_words_ok``): regroup the groups' 32-bit halves by weight
+      so each word reduces with ONE 32-bit Shoup multiply — ~half the VPU
+      ops (:func:`pvw_tpu.ops.u64.fold_columns_words`).
+
+    Then subtract the bias constant K. Options:
 
     - ``ch_axis``: grid axis carrying the channel index.
     - ``has_noise``: contract a tile of raw signed noise digit planes
@@ -52,7 +61,7 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool):
       into the convolution columns pre-fold.
     - ``has_post``: addmod a residue pair (the gadget encode) post-fold.
 
-    Ref order: tables [CH, 24] u32 SMEM; (ntab [1, ljr, C] i32 SMEM if
+    Ref order: tables [CH, 36] u32 SMEM; (ntab [1, ljr, C] i32 SMEM if
     has_noise); lhs [1, TM, kd] i8; band [1, C, kd, TN] i8;
     (noise [ljr, TM, TN] i8 if has_noise); (post hi/lo [1, TM, TN] u32 if
     has_post); outputs hi/lo [1, TM, TN] u32.
@@ -70,6 +79,7 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool):
         tm = lhs_ref.shape[1]
         n = out_hi_ref.shape[2]
         C = band_ref.shape[1]
+        ng = (C + 3) // 4
         ch = pl.program_id(ch_axis)
         t = tables_ref
         qh, ql = t[ch, 18], t[ch, 19]
@@ -79,6 +89,8 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool):
         acc_l = jnp.zeros((tm, n), u.U32)
         gh_acc = jnp.zeros((tm, n), u.U32)
         gl_acc = jnp.zeros((tm, n), u.U32)
+        prev_gh = None   # word fold: high half of the previous group
+        carry = None     # word fold: carry bit of the previous word add
         for c in range(C):
             g, r = divmod(c, 4)
             p_c = jax.lax.dot_general(
@@ -101,14 +113,49 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool):
                 th, tl = uc >> (32 - 8 * r), uc << (8 * r)
             gh_acc, gl_acc = u.add64(gh_acc, gl_acc, th, tl)
             if r == 3 or c == C - 1:
-                sh, sl = u.shoup_mul64_arr(
-                    gh_acc, gl_acc,
-                    t[ch, 0 + g], t[ch, 4 + g], t[ch, 8 + g], t[ch, 12 + g],
-                    qh, ql,
-                )
-                acc_h, acc_l = u.addmod(acc_h, acc_l, sh, sl, qh, ql)
+                if not use_words:
+                    sh, sl = u.shoup_mul64_arr(
+                        gh_acc, gl_acc,
+                        t[ch, 0 + g], t[ch, 4 + g], t[ch, 8 + g],
+                        t[ch, 12 + g],
+                        qh, ql,
+                    )
+                    acc_h, acc_l = u.addmod(acc_h, acc_l, sh, sl, qh, ql)
+                elif g == 0:
+                    acc_h, acc_l = jnp.zeros((tm, n), u.U32), gl_acc
+                    prev_gh = gh_acc
+                else:
+                    # word W_g = gh_(g-1) + gl_g (+ carry), exact carries
+                    s1 = prev_gh + gl_acc
+                    c1 = (s1 < prev_gh).astype(u.U32)
+                    if carry is not None:
+                        s2 = s1 + carry
+                        c1 = c1 + (s2 < s1).astype(u.U32)
+                        s1 = s2
+                    carry = c1
+                    sh, sl = u.shoup_mul32_arr(
+                        s1, t[ch, 24 + g - 1], t[ch, 28 + g - 1],
+                        t[ch, 32 + g - 1], qh, ql,
+                    )
+                    acc_h, acc_l = u.addmod(acc_h, acc_l, sh, sl, qh, ql)
+                    prev_gh = gh_acc
                 gh_acc = jnp.zeros((tm, n), u.U32)
                 gl_acc = jnp.zeros((tm, n), u.U32)
+        if use_words:
+            # top word W_ng = gh_(ng-1) + carry (provably < 2^32)
+            if C % 4 == 1 and carry is not None and ng >= 2:
+                # single-column last group: its gh is provably zero, so the
+                # top word is the carry bit alone
+                th = jnp.where(carry > 0, t[ch, 24 + ng - 1], 0).astype(u.U32)
+                tl = jnp.where(carry > 0, t[ch, 28 + ng - 1], 0).astype(u.U32)
+                acc_h, acc_l = u.addmod(acc_h, acc_l, th, tl, qh, ql)
+            else:
+                s1 = prev_gh if carry is None else prev_gh + carry
+                sh, sl = u.shoup_mul32_arr(
+                    s1, t[ch, 24 + ng - 1], t[ch, 28 + ng - 1],
+                    t[ch, 32 + ng - 1], qh, ql,
+                )
+                acc_h, acc_l = u.addmod(acc_h, acc_l, sh, sl, qh, ql)
         oh, ol = u.submod(acc_h, acc_l, t[ch, 16], t[ch, 17], qh, ql)
         if has_post:
             oh, ol = u.addmod(oh, ol, post_hi_ref[0], post_lo_ref[0],
@@ -119,15 +166,11 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool):
     return body
 
 
-# plain banded variant: grid (ch, i, j), no noise, no post
-_fold_kernel_body = _make_fold_body(0, False, False)
-
-
-@partial(jax.jit, static_argnums=(3, 4, 5))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def _fused_banded_matmul(lhs_dig, band, tables, tile_m: int, tile_n: int,
-                         interpret: bool):
+                         interpret: bool, use_words: bool = False):
     """lhs_dig int8 [CH, m, 8k]; band int8 [CH, 15, 8k, n];
-    tables uint32 [CH, 24] -> (hi, lo) uint32 [CH, m, n].
+    tables uint32 [CH, 36] -> (hi, lo) uint32 [CH, m, n].
 
     2-D (m, n) tiling keeps the band block within VMEM for large dealer
     batches; the lhs tile is reused across the n-tiles of a row."""
@@ -140,7 +183,7 @@ def _fused_banded_matmul(lhs_dig, band, tables, tile_m: int, tile_n: int,
         jax.ShapeDtypeStruct((ch, m, n), jnp.uint32),
     ]
     return pl.pallas_call(
-        _fold_kernel_body,
+        _make_fold_body(0, False, False, use_words),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full table, indexed by ch
@@ -161,16 +204,19 @@ def _fused_banded_matmul(lhs_dig, band, tables, tile_m: int, tile_n: int,
 
 
 def _pack_tables(ring: "RingPlan", ncols: int | None = None) -> np.ndarray:
-    """Per-limb fold constants -> uint32 [L, 24] rows for SMEM.
+    """Per-limb fold constants -> uint32 [L, 36] rows for SMEM.
 
-    ``ncols`` selects the bias constant for folds over fewer columns than
-    the full 2nd-1 (the scaled-digit matmul folds only nd)."""
+    Layout: [0:16] grouped-fold 2^(32g) mod q pairs + 64-bit Shoup halves;
+    [16:18] bias K; [18:20] q; [24:36] word-fold 2^(32w) mod q pairs +
+    32-bit Shoup companions (w = 1..4). ``ncols`` selects the bias
+    constant for folds over fewer columns than the full 2nd-1 (the
+    scaled-digit matmul folds only nd)."""
     L = ring.num_limbs
     bias_hi, bias_lo = (
         (ring.bias_hi, ring.bias_lo) if ncols is None
         else ring.bias_pair_for_columns(ncols)
     )
-    t = np.zeros((L, 24), np.uint32)
+    t = np.zeros((L, 36), np.uint32)
     t[:, 0:4] = ring.grp_hi
     t[:, 4:8] = ring.grp_lo
     t[:, 8:12] = ring.grp_sh
@@ -179,6 +225,9 @@ def _pack_tables(ring: "RingPlan", ncols: int | None = None) -> np.ndarray:
     t[:, 17] = bias_lo
     t[:, 18] = ring.q_hi
     t[:, 19] = ring.q_lo
+    t[:, 24:28] = ring.wrd_hi
+    t[:, 28:32] = ring.wrd_lo
+    t[:, 32:36] = ring.wrd_wp32
     return t
 
 
@@ -232,17 +281,12 @@ def _pick_tiles(m: int, n: int, kd: int, C: int, extra_mn: int = 0):
     return None
 
 
-def _make_noise_body(has_post: bool):
-    """Noise-fused scaled-matmul body (grid (i, j, ch)); see
-    :func:`_make_fold_body`."""
-    return _make_fold_body(2, True, has_post)
-
-
-@partial(jax.jit, static_argnums=(6, 7, 8))
+@partial(jax.jit, static_argnums=(6, 7, 8, 9))
 def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
-                               tile_m: int, tile_n: int, interpret: bool):
+                               tile_m: int, tile_n: int, interpret: bool,
+                               use_words: bool = False):
     """lhs_dig int8 [CH, m, kd]; band int8 [CH, nd, kd, n]; tables uint32
-    [CH, 24]; ntab int32 [CH, ljr, nd]; noise int8 [ljr, m, n]; post
+    [CH, 36]; ntab int32 [CH, ljr, nd]; noise int8 [ljr, m, n]; post
     None or pair of uint32 [CH, m, n] -> (hi, lo) uint32 [CH, m, n].
 
     Grid (m-tiles, n-tiles, CH) with CH innermost so the noise tile —
@@ -280,7 +324,7 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
         jax.ShapeDtypeStruct((ch, m, n), jnp.uint32),
     ]
     oh, ol = pl.pallas_call(
-        _make_noise_body(has_post),
+        _make_fold_body(2, True, has_post, use_words),
         grid=grid,
         in_specs=in_specs,
         out_specs=[mn_spec(), mn_spec()],
@@ -370,7 +414,8 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
     r2 = _build_rhs_scaled(rhs_scaled.reshape(L * S, k, n, nd, nd))
     tables = jnp.repeat(jnp.asarray(_pack_tables(ring, nd)), S, axis=0)
     if noise is None and post is None:
-        oh, ol = _fused_banded_matmul(ld, r2, tables, tile_m, tile_n, False)
+        oh, ol = _fused_banded_matmul(ld, r2, tables, tile_m, tile_n, False,
+                                      ring.fold_words_ok)
         return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)
     if noise is None:
         # post without noise: a zero one-plane noise input (cost ~0)
@@ -387,7 +432,8 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
     if post is not None:
         post_ch = (post[0].reshape(L * S, m, n), post[1].reshape(L * S, m, n))
     oh, ol = _fused_scaled_noise_matmul(
-        ld, r2, tables, ntab, noise, post_ch, tile_m, tile_n, False
+        ld, r2, tables, ntab, noise, post_ch, tile_m, tile_n, False,
+        ring.fold_words_ok,
     )
     return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)
 
@@ -445,5 +491,6 @@ def matmul_channels_pallas(lhs, rhs, ring: "RingPlan", tile_m: int = 256,
     rd = digits(rh, rl, nd).reshape(L * S, k, n, nd)
     band = _build_band_cmajor(rd)
     tables = jnp.repeat(jnp.asarray(_pack_tables(ring)), S, axis=0)  # [L*S, 24]
-    oh, ol = _fused_banded_matmul(ld, band, tables, tile_m, tile_n, interpret)
+    oh, ol = _fused_banded_matmul(ld, band, tables, tile_m, tile_n, interpret,
+                                  ring.fold_words_ok)
     return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)

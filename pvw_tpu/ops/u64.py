@@ -350,6 +350,77 @@ def fold_columns_grouped(cols, grp_wh, grp_wl, grp_sh, grp_sl, bias_h, bias_l,
     return submod(acc_h, acc_l, bias_h, bias_l, qh, ql)
 
 
+def fold_columns_words(cols, wrd_wh, wrd_wl, wrd_wp32, bias_h, bias_l,
+                       qh, ql):
+    """Word-regrouped column fold — same exact result as
+    :func:`fold_columns_grouped`, fewer VPU ops.
+
+    Build the biased group accumulators G_g exactly as the grouped fold
+    does, but instead of one 64-bit Shoup multiply per group, regroup
+    their 32-bit halves by weight: V + K = sum_g G_g * 2^(32g) with
+    G_g = gh_g*2^32 + gl_g, so
+
+        V + K = sum_w W_w * 2^(32w),   W_0 = gl_0,
+        W_w = gh_(w-1) + gl_w + carry_(w-1)   (exact u32 adds w/ carries)
+
+    Each W_w < 2^32, so words 1.. reduce with ONE 32-bit Shoup multiply
+    (:func:`shoup_mul32_arr`, ~half the ops of the 64-bit form) and W_0
+    adds in directly. REQUIRES q > 2^32 per limb (W_0 < q and the
+    shoup32 precondition); callers must guard with ``ring.fold_words_ok``.
+
+    ``wrd_*``: broadcastable arrays indexed by the trailing axis (length
+    ngroups) of 2^(32w) mod q for w = 1..ngroups and its 32-bit Shoup
+    companion; ``bias_*``: K mod q pairs.
+    """
+    shape = cols.shape[:-1]
+    num_cols = cols.shape[-1]
+    ng = (num_cols + 3) // 4
+    ghs, gls = [], []
+    for g in range(ng):
+        gh = jnp.zeros(shape, U32)
+        gl = jnp.zeros(shape, U32)
+        for r in range(4):
+            c = 4 * g + r
+            if c >= num_cols:
+                break
+            uc = (cols[..., c] + jnp.int32(-0x80000000)).astype(U32)  # +2^31
+            if r == 0:
+                th, tl = jnp.zeros_like(uc), uc
+            else:
+                th, tl = uc >> (32 - 8 * r), uc << (8 * r)
+            gh, gl = add64(gh, gl, th, tl)
+        ghs.append(gh)
+        gls.append(gl)
+    # word stream: acc starts at W_0 = gl_0 (< 2^32 < q)
+    acc_h = jnp.zeros(shape, U32)
+    acc_l = gls[0]
+    carry = None
+    for w in range(1, ng + 1):
+        if w == ng and num_cols % 4 == 1 and carry is not None:
+            # the last group held a single column (r = 0), so gh_(ng-1) is
+            # provably zero and the top word is just the carry bit: one
+            # conditional addmod of 2^(32*ng) mod q instead of a Shoup.
+            th = jnp.where(carry > 0, wrd_wh[..., w - 1], 0).astype(U32)
+            tl = jnp.where(carry > 0, wrd_wl[..., w - 1], 0).astype(U32)
+            acc_h, acc_l = addmod(acc_h, acc_l, th, tl, qh, ql)
+            break
+        s1 = ghs[w - 1] + (gls[w] if w < ng else jnp.zeros(shape, U32))
+        c1 = (s1 < ghs[w - 1]).astype(U32)
+        if carry is not None:
+            s2 = s1 + carry
+            c1 = c1 + (s2 < s1).astype(U32)  # the two carries are exclusive
+            s1 = s2
+        carry = c1
+        th, tl = shoup_mul32_arr(
+            s1, wrd_wh[..., w - 1], wrd_wl[..., w - 1], wrd_wp32[..., w - 1],
+            qh, ql,
+        )
+        acc_h, acc_l = addmod(acc_h, acc_l, th, tl, qh, ql)
+    # no carry can leave the top word: its raw sum gh_(ng-1) + carry_in is
+    # far below 2^32 (gh_g <= 2^24 + 1 by the G_g bound in DESIGN.md §5).
+    return submod(acc_h, acc_l, bias_h, bias_l, qh, ql)
+
+
 def fold_columns(cols, pow_wh, pow_wl, pow_wp32, qh, ql):
     """Recombine digit-convolution columns into a residue mod q.
 

@@ -181,6 +181,19 @@ class RingPlan:
         self.grp_hi, self.grp_lo = u64op.split_u64_np(grp_w)       # [L, 4]
         self.grp_sh, self.grp_sl = u64op.split_u64_np(grp_s)
         self.bias_hi, self.bias_lo = u64op.split_u64_np(bias)      # [L]
+        # word-fold tables: 2^(32w) mod q for w = 1..4 with 32-bit Shoup
+        # companions (see u64.fold_columns_words). Valid only when every
+        # modulus exceeds 2^32 (W_0 < q precondition).
+        wrd_w = np.zeros((L, 4), np.uint64)
+        wrd_p32 = np.zeros((L, 4), np.uint32)
+        for i, q in enumerate(moduli):
+            for w in range(1, 5):
+                v = pow(2, 32 * w, q)
+                wrd_w[i, w - 1] = v
+                wrd_p32[i, w - 1] = (v << 32) // q
+        self.wrd_hi, self.wrd_lo = u64op.split_u64_np(wrd_w)       # [L, 4]
+        self.wrd_wp32 = wrd_p32                                    # [L, 4]
+        self.fold_words_ok = all(q > (1 << 32) for q in moduli)
         self.ntt_fwd_dig = np.stack([lp.ntt_fwd_dig for lp in self.limbs])  # [L,l,l,8]
         self.ntt_inv_dig = np.stack([lp.ntt_inv_dig for lp in self.limbs])
         # lhs-banded twiddle matrices: one matmul yields the 15 convolution

@@ -185,15 +185,53 @@ class TestMatmul:
         ld = modmat.digits(lh, ll, nd).reshape(L * S, m, k * nd)
         r2 = pm._build_rhs_scaled(np.asarray(td).reshape(L * S, k, n, nd, nd))
         tables = jnp.repeat(jnp.asarray(pm._pack_tables(ring, nd)), S, axis=0)
-        oh, ol = pm._fused_banded_matmul(
-            ld, jnp.asarray(r2), tables, 64, 128, True
+        for use_words in (False, ring.fold_words_ok):
+            oh, ol = pm._fused_banded_matmul(
+                ld, jnp.asarray(r2), tables, 64, 128, True, use_words
+            )
+            np.testing.assert_array_equal(
+                np.asarray(oh).reshape(L, S, m, n), np.asarray(ref[0])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ol).reshape(L, S, m, n), np.asarray(ref[1])
+            )
+
+    @pytest.mark.parametrize("moduli", [MODULI, BIG_MODULI])
+    @pytest.mark.parametrize("ncols", [1, 2, 4, 5, 8, 9, 15])
+    def test_fold_columns_words_exact(self, moduli, ncols):
+        """The word-regrouped fold must be bit-identical to the grouped
+        fold for every column count and modulus size (q > 2^32)."""
+        ring = RingPlan(moduli, 8)
+        L = ring.num_limbs
+        assert ring.fold_words_ok
+        cols = RNG.integers(-(1 << 31), 1 << 31, size=(L, 3, 7, ncols),
+                            dtype=np.int64).astype(np.int32)
+        cj = jnp.asarray(cols)
+        sh = (L, 1, 1, 4)
+        bias = ring.bias_pair_for_columns(ncols)
+        common = (
+            jnp.asarray(bias[0]).reshape(L, 1, 1),
+            jnp.asarray(bias[1]).reshape(L, 1, 1),
+            jnp.asarray(ring.q_hi).reshape(L, 1, 1),
+            jnp.asarray(ring.q_lo).reshape(L, 1, 1),
         )
-        np.testing.assert_array_equal(
-            np.asarray(oh).reshape(L, S, m, n), np.asarray(ref[0])
+        gh, gl = u.fold_columns_grouped(
+            cj,
+            jnp.asarray(ring.grp_hi).reshape(sh),
+            jnp.asarray(ring.grp_lo).reshape(sh),
+            jnp.asarray(ring.grp_sh).reshape(sh),
+            jnp.asarray(ring.grp_sl).reshape(sh),
+            *common,
         )
-        np.testing.assert_array_equal(
-            np.asarray(ol).reshape(L, S, m, n), np.asarray(ref[1])
+        wh, wl = u.fold_columns_words(
+            cj,
+            jnp.asarray(ring.wrd_hi).reshape(sh),
+            jnp.asarray(ring.wrd_lo).reshape(sh),
+            jnp.asarray(ring.wrd_wp32).reshape(sh),
+            *common,
         )
+        np.testing.assert_array_equal(np.asarray(gh), np.asarray(wh))
+        np.testing.assert_array_equal(np.asarray(gl), np.asarray(wl))
 
     @pytest.mark.parametrize("moduli,bound", [(MODULI, 50),
                                               (BIG_MODULI, 2000)])
@@ -245,15 +283,17 @@ class TestMatmul:
             ring.ntt_scaled_tab(jr), jnp.int32
         ).reshape(L * S, l * jr, nd)
         pch = (pph.reshape(L * S, m, n), ppl.reshape(L * S, m, n))
-        oh, ol = pm._fused_scaled_noise_matmul(
-            ld, jnp.asarray(r2), tables, ntab, planes, pch, 8, 4, True
-        )
-        np.testing.assert_array_equal(
-            np.asarray(oh).reshape(L, S, m, n), np.asarray(refh)
-        )
-        np.testing.assert_array_equal(
-            np.asarray(ol).reshape(L, S, m, n), np.asarray(refl)
-        )
+        for use_words in (False, ring.fold_words_ok):
+            oh, ol = pm._fused_scaled_noise_matmul(
+                ld, jnp.asarray(r2), tables, ntab, planes, pch, 8, 4, True,
+                use_words,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(oh).reshape(L, S, m, n), np.asarray(refh)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ol).reshape(L, S, m, n), np.asarray(refl)
+            )
 
     def test_noise_kernel_post_only_interpret(self):
         """The Pallas kernel's post-only branch (zero noise planes + the
