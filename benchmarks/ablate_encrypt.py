@@ -88,13 +88,20 @@ def make_kernel(params, *, with_e1=True, with_e2=True, with_encode=True,
             else:
                 out += [c1h, c1l]
         if with_c2:
-            enc_ch = (_encode_channel_major(params, sc_hi, sc_lo, ring)
-                      if with_encode else None)
+            if with_encode:
+                from pvw_tpu.ops.pallas_modmat import encode_tab
+
+                etab = jnp.asarray(encode_tab(
+                    params.gadget_ntt, params.gadget_ntt_shoup,
+                    params.gadget_wrap))
+                enc = (jnp.transpose(sc_hi), jnp.transpose(sc_lo), etab)
+            else:
+                enc = None
             n2 = (noise_planes(k_e2, n, params.error_bound_2)
                   if with_e2 else None)
             c2h, c2l = matmul_fold_scaled(
                 (to_ch(b_hi), to_ch(b_lo)), r_scaled, ring,
-                noise=n2, post=enc_ch)
+                noise=n2, encode=enc)
             if with_transpose:
                 out += [from_ch(c2h), from_ch(c2l)]
             else:

@@ -171,16 +171,22 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
         c1h, c1l = u64op.addmod(c1h, c1l, e1h, e1l, qh4, ql4)
     c1 = (from_channels(c1h), from_channels(c1l))                # [k, d, L, l]
 
-    # encode: m·g in NTT domain via constant Shoup multiply; u64->i64 wrap
-    # (encryption.rs:195) corrected by subtracting (2^64 mod q)·g.
-    # Emitted channel-major so it addmods inside the matmul epilogue.
-    enc_ch = _encode_channel_major(params, sc_hi, sc_lo, ring)   # [L,l,n,d]
+    # encode: m·g in NTT domain, computed INSIDE the matmul kernel from the
+    # scalar pair tile + per-channel constants (g, Shoup(g), and the
+    # u64->i64 wrap correction (2^64 mod q)·g — encryption.rs:195
+    # semantics); the [L,l,n,d] encode residues never exist in HBM.
+    from ..ops.pallas_modmat import encode_tab
+
+    etab = jnp.asarray(encode_tab(
+        params.gadget_ntt, params.gadget_ntt_shoup, params.gadget_wrap
+    ))
+    enc = (jnp.transpose(sc_hi), jnp.transpose(sc_lo), etab)     # sc [n, d]
 
     # c2 = B·r + encode(scalars) + e2                    (encryption.rs:175-200)
     n2 = _noise_planes(k_e2, n, params.error_bound_2)
     c2h, c2l = matmul_fold_scaled(
         (to_channels(b_hi), to_channels(b_lo)), r_scaled, ring,
-        noise=n2, post=enc_ch,
+        noise=n2, encode=enc,
     )                                                           # [L,l,n,d]
     if n2 is None:
         e2h, e2l = _noise_residues_ch(k_e2, n, params.error_bound_2)

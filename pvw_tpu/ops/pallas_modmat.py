@@ -37,7 +37,7 @@ if TYPE_CHECKING:
 
 
 def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
-                    use_words: bool = False):
+                    use_words: bool = False, has_encode: bool = False):
     """Factory for the fused matmul+fold kernel bodies.
 
     All variants bias each int32 column by +2^31 and accumulate groups of
@@ -60,21 +60,30 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
       computed in VMEM — its int32 columns never exist in HBM) and add it
       into the convolution columns pre-fold.
     - ``has_post``: addmod a residue pair (the gadget encode) post-fold.
+    - ``has_encode``: compute the gadget encode IN-KERNEL from a u64
+      scalar-pair tile and per-channel constants (g, its Shoup companion,
+      and the u64->i64 wrap correction (2^64 mod q)*g mod q) and addmod it
+      post-fold — the [CH, m, n] encode residues never exist in HBM.
 
-    Ref order: tables [CH, 36] u32 SMEM; (ntab [1, ljr, C] i32 SMEM if
-    has_noise); lhs [1, TM, kd] i8; band [1, C, kd, TN] i8;
+    Ref order: tables [CH, 36] u32 SMEM; (enc_tab [1, 8] u32 SMEM if
+    has_encode); (ntab [1, ljr, C] i32 SMEM if has_noise);
+    lhs [1, TM, kd] i8; band [1, C, kd, TN] i8;
     (noise [ljr, TM, TN] i8 if has_noise); (post hi/lo [1, TM, TN] u32 if
-    has_post); outputs hi/lo [1, TM, TN] u32.
+    has_post); (sc hi/lo [TM, TN] u32 if has_encode);
+    outputs hi/lo [1, TM, TN] u32.
     """
 
     def body(tables_ref, *refs):
         refs = list(refs)
+        enc_tab_ref = refs.pop(0) if has_encode else None
         ntab_ref = refs.pop(0) if has_noise else None
         lhs_ref = refs.pop(0)
         band_ref = refs.pop(0)
         noise_ref = refs.pop(0) if has_noise else None
         if has_post:
             post_hi_ref, post_lo_ref = refs.pop(0), refs.pop(0)
+        if has_encode:
+            sc_hi_ref, sc_lo_ref = refs.pop(0), refs.pop(0)
         out_hi_ref, out_lo_ref = refs
         tm = lhs_ref.shape[1]
         n = out_hi_ref.shape[2]
@@ -160,6 +169,20 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
         if has_post:
             oh, ol = u.addmod(oh, ol, post_hi_ref[0], post_lo_ref[0],
                               qh, ql)
+        if has_encode:
+            et = enc_tab_ref
+            sch, scl = sc_hi_ref[...], sc_lo_ref[...]
+            eh, el = u.shoup_mul64_arr(
+                sch, scl, et[0, 0, 0], et[0, 0, 1], et[0, 0, 2],
+                et[0, 0, 3], qh, ql,
+            )
+            # Rust `as i64` wrap (encryption.rs:195): scalars >= 2^63
+            # encode as m - 2^64, i.e. subtract (2^64 mod q)*g mod q
+            wh, wl = u.submod(eh, el, et[0, 0, 4], et[0, 0, 5], qh, ql)
+            neg = sch >= jnp.uint32(1 << 31)
+            eh = jnp.where(neg, wh, eh)
+            el = jnp.where(neg, wl, el)
+            oh, ol = u.addmod(oh, ol, eh, el, qh, ql)
         out_hi_ref[0] = oh
         out_lo_ref[0] = ol
 
@@ -281,29 +304,44 @@ def _pick_tiles(m: int, n: int, kd: int, C: int, extra_mn: int = 0):
     return None
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(7, 8, 9, 10))
 def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
-                               tile_m: int, tile_n: int, interpret: bool,
-                               use_words: bool = False):
+                               encode, tile_m: int, tile_n: int,
+                               interpret: bool, use_words: bool = False):
     """lhs_dig int8 [CH, m, kd]; band int8 [CH, nd, kd, n]; tables uint32
     [CH, 36]; ntab int32 [CH, ljr, nd]; noise int8 [ljr, m, n]; post
-    None or pair of uint32 [CH, m, n] -> (hi, lo) uint32 [CH, m, n].
+    None or pair of uint32 [CH, m, n]; encode None or (sc_hi, sc_lo,
+    enc_tab) with sc_* uint32 [m, n] and enc_tab uint32 [CH, 8]
+    -> (hi, lo) uint32 [CH, m, n].
 
-    Grid (m-tiles, n-tiles, CH) with CH innermost so the noise tile —
-    whose block index ignores the channel — is fetched once per (i, j).
+    Grid (m-tiles, n-tiles, CH) with CH innermost so the noise/scalar
+    tiles — whose block index ignores the channel — are fetched once per
+    (i, j).
     """
     ch, m, kd = lhs_dig.shape
     n = band.shape[3]
     C = band.shape[1]
     ljr = noise.shape[0]
     has_post = post is not None
+    has_encode = encode is not None
     grid = (m // tile_m, n // tile_n, ch)
     mn_spec = lambda: pl.BlockSpec(
         (1, tile_m, tile_n), lambda i, j, c: (c, i, j),
         memory_space=pltpu.VMEM,
     )
+    sc_spec = lambda: pl.BlockSpec(
+        (tile_m, tile_n), lambda i, j, c: (i, j),
+        memory_space=pltpu.VMEM,
+    )
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # fold tables [CH, 24]
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # fold tables [CH, 36]
+    ]
+    operands = [tables]
+    if has_encode:
+        in_specs.append(pl.BlockSpec((1, 1, 8), lambda i, j, c: (c, 0, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(encode[2].reshape(ch, 1, 8))
+    in_specs += [
         # ntt tab blocked per channel: the full [CH, ljr, nd] table
         # SMEM-pads past the 1 MB scalar memory at deep chains (CH=272)
         pl.BlockSpec((1, ljr, C), lambda i, j, c: (c, 0, 0),
@@ -315,16 +353,19 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
         pl.BlockSpec((ljr, tile_m, tile_n), lambda i, j, c: (0, i, j),
                      memory_space=pltpu.VMEM),
     ]
-    operands = [tables, ntab, lhs_dig, band, noise]
+    operands += [ntab, lhs_dig, band, noise]
     if has_post:
         in_specs += [mn_spec(), mn_spec()]
         operands += [post[0], post[1]]
+    if has_encode:
+        in_specs += [sc_spec(), sc_spec()]
+        operands += [encode[0], encode[1]]
     out_shape = [
         jax.ShapeDtypeStruct((ch, m, n), jnp.uint32),
         jax.ShapeDtypeStruct((ch, m, n), jnp.uint32),
     ]
     oh, ol = pl.pallas_call(
-        _make_fold_body(2, True, has_post, use_words),
+        _make_fold_body(2, True, has_post, use_words, has_encode),
         grid=grid,
         in_specs=in_specs,
         out_specs=[mn_spec(), mn_spec()],
@@ -346,8 +387,25 @@ def _noise_cols_xla(noise, ring: "RingPlan"):
     )
 
 
+def _encode_residues_xla(encode, L, S, ring: "RingPlan"):
+    """XLA twin of the in-kernel gadget encode: (sc_hi, sc_lo, enc_tab)
+    -> residue pair [L, S, m, n] (same arithmetic as the kernel body)."""
+    sc_hi, sc_lo, enc_tab = encode
+    tab = enc_tab.reshape(L, S, 8)
+    pick = lambda c: tab[:, :, c][:, :, None, None]
+    qh = jnp.asarray(ring.q_hi).reshape(L, 1, 1, 1)
+    ql = jnp.asarray(ring.q_lo).reshape(L, 1, 1, 1)
+    eh, el = u.shoup_mul64_arr(
+        sc_hi[None, None], sc_lo[None, None],
+        pick(0), pick(1), pick(2), pick(3), qh, ql,
+    )
+    wh, wl = u.submod(eh, el, pick(4), pick(5), qh, ql)
+    neg = (sc_hi >= jnp.uint32(1 << 31))[None, None]
+    return jnp.where(neg, wh, eh), jnp.where(neg, wl, el)
+
+
 def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
-                       post=None):
+                       post=None, encode=None):
     """Fused modular matmul against a PRESCALED rhs (scaled-digit form).
 
     lhs: pair [L, S, m, k]; rhs_scaled: int8 [L, S, k, n, nd, nd] from
@@ -367,6 +425,12 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
 
     ``post``: optional residue pair [L, S, m, n] addmodded after the fold
     (the gadget encode term of c2).
+
+    ``encode``: optional (sc_hi, sc_lo, enc_tab) — the gadget encode
+    computed IN-KERNEL from the u64 scalar pair [m, n] and the per-channel
+    constant row enc_tab uint32 [L*S, 8] (g, Shoup(g), (2^64 mod q)*g;
+    see :func:`encode_tab`). Replaces materializing the [L, S, m, n]
+    encode residues through HBM. Addmodded after ``post``.
     """
     import os
 
@@ -386,20 +450,25 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
         if noise is not None:
             cols = cols + _noise_cols_xla(noise, ring)
         oh, ol = modmat._fold_leading(cols, ring)
+        qh = jnp.asarray(ring.q_hi).reshape(L, 1, 1, 1)
+        ql = jnp.asarray(ring.q_lo).reshape(L, 1, 1, 1)
         if post is not None:
-            qh = jnp.asarray(ring.q_hi).reshape(L, 1, 1, 1)
-            ql = jnp.asarray(ring.q_lo).reshape(L, 1, 1, 1)
             oh, ol = u.addmod(oh, ol, post[0], post[1], qh, ql)
+        if encode is not None:
+            eh, el = _encode_residues_xla(encode, L, S, ring)
+            oh, ol = u.addmod(oh, ol, eh, el, qh, ql)
         return oh, ol
 
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu or os.environ.get("PVW_NO_PALLAS"):
         return _xla()
     # extra blocks: noise digits (int8/plane, double-buffered via blocks
-    # term) + post pair; plus per-plane kernel temporaries (2B/elt each,
-    # measured against Mosaic's scoped-vmem accounting)
+    # term) + post pair + encode scalar pair; plus per-plane kernel
+    # temporaries (2B/elt each, measured against Mosaic's scoped-vmem
+    # accounting)
     extra_mn = (0 if noise is None else 3 * noise.shape[0]) \
-        + (0 if post is None else 12)
+        + (0 if post is None else 12) \
+        + (0 if encode is None else 16)
     tiles = _pick_tiles(m, n, kd, nd, extra_mn)
     if tiles is None:
         return _xla()
@@ -413,7 +482,7 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
     ld = modmat.digits(lh, ll, nd).reshape(L * S, m, kd)
     r2 = _build_rhs_scaled(rhs_scaled.reshape(L * S, k, n, nd, nd))
     tables = jnp.repeat(jnp.asarray(_pack_tables(ring, nd)), S, axis=0)
-    if noise is None and post is None:
+    if noise is None and post is None and encode is None:
         oh, ol = _fused_banded_matmul(ld, r2, tables, tile_m, tile_n, False,
                                       ring.fold_words_ok)
         return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)
@@ -432,10 +501,24 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
     if post is not None:
         post_ch = (post[0].reshape(L * S, m, n), post[1].reshape(L * S, m, n))
     oh, ol = _fused_scaled_noise_matmul(
-        ld, r2, tables, ntab, noise, post_ch, tile_m, tile_n, False,
+        ld, r2, tables, ntab, noise, post_ch, encode, tile_m, tile_n, False,
         ring.fold_words_ok,
     )
     return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)
+
+
+def encode_tab(gadget_ntt: np.ndarray, gadget_ntt_shoup: np.ndarray,
+               gadget_wrap: np.ndarray) -> np.ndarray:
+    """Pack the per-channel gadget-encode constants for ``encode=``:
+    uint32 [L*l, 8] rows (g_hi, g_lo, gs_hi, gs_lo, wrap_hi, wrap_lo, 0, 0)
+    from the [L, l] uint64 tables on :class:`PvwParameters`."""
+    gh, gl = u.split_u64_np(gadget_ntt)
+    sh, sl = u.split_u64_np(gadget_ntt_shoup)
+    wh, wl = u.split_u64_np(gadget_wrap)
+    out = np.zeros((gadget_ntt.size, 8), np.uint32)
+    for i, arr in enumerate((gh, gl, sh, sl, wh, wl)):
+        out[:, i] = arr.reshape(-1)
+    return out
 
 
 def matmul_fold_auto(lhs, rhs, ring: "RingPlan"):

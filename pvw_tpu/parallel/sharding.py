@@ -125,9 +125,20 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         )
         whole_k = kd == 1  # contraction local -> noise/encode can fuse
 
-        # encode local scalars (sc sharded over recv on axis 1),
-        # channel-major [L, l, nl, d] for the kernel post-add
-        enc_ch = _encode_channel_major(params, sc_hi, sc_lo, ring)
+        # encode of the local scalars (sc sharded over recv on axis 1):
+        # in-kernel from scalar tiles when the contraction is local,
+        # materialized channel-major otherwise (the kdim>1 path adds it
+        # after the cross-shard reduction)
+        if whole_k:
+            from ..ops.pallas_modmat import encode_tab
+
+            etab = jnp.asarray(encode_tab(
+                params.gadget_ntt, params.gadget_ntt_shoup,
+                params.gadget_wrap,
+            ))
+            enc_k = (jnp.transpose(sc_hi), jnp.transpose(sc_lo), etab)
+        else:
+            enc_ch = _encode_channel_major(params, sc_hi, sc_lo, ring)
 
         # c1 partial over the local k block, then gather+addmod over kdim
         n1 = _noise_planes(k_e1, 0, k, params.error_bound_1) if whole_k \
@@ -150,7 +161,7 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
             if whole_k else None
         c2p_ch = matmul_fold_scaled(
             (to_ch(b_hi), to_ch(b_lo)), r_scaled, ring, noise=n2,
-            post=enc_ch if whole_k else None,
+            encode=enc_k if whole_k else None,
         )
         c2p = (from_ch(c2p_ch[0]), from_ch(c2p_ch[1]))
         c2_hi, c2_lo = _modsum_gathered(c2p[0], c2p[1], ring, "kdim")

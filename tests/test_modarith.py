@@ -295,6 +295,69 @@ class TestMatmul:
                 np.asarray(ol).reshape(L, S, m, n), np.asarray(refl)
             )
 
+    @pytest.mark.parametrize("moduli", [MODULI, BIG_MODULI])
+    def test_in_kernel_encode_exact(self, moduli):
+        """The in-kernel gadget encode (scalar tile + per-channel g/wrap
+        constants) must match shoup-encode-then-addmod exactly — XLA
+        fallback and Pallas interpret mode, including the u64->i64 wrap
+        for scalars >= 2^63."""
+        from pvw_tpu.ops import pallas_modmat as pm
+
+        ring = RingPlan(moduli, 8)
+        L, l, nd = ring.num_limbs, ring.degree, ring.num_digits
+        S, m, k, n = l, 8, 6, 4
+        qs = np.array(moduli, np.uint64).reshape(L, 1, 1, 1)
+        a = (rand_u64((L, S, m, k)) % qs).astype(np.uint64)
+        b = (rand_u64((L, S, k, n)) % qs).astype(np.uint64)
+        pa = pairs(a)
+        rs = modmat.prescale_digits(pairs(b), ring)
+        # scalars spanning the u64 range incl. the i64-wrap region
+        sc = rand_u64((m, n))
+        sc[0, 0] = 0
+        sc[1, 0] = (1 << 64) - 1
+        sc[2, 0] = 1 << 63
+        sch, scl = pairs(sc)
+        # per-channel gadget-like constants: random g < q
+        g = (rand_u64((L, S)) % np.array(moduli, np.uint64)[:, None])
+        gs = np.zeros((L, S), np.uint64)
+        wrap = np.zeros((L, S), np.uint64)
+        for i, q in enumerate(moduli):
+            for s in range(S):
+                gs[i, s] = (int(g[i, s]) << 64) // q
+                wrap[i, s] = (pow(2, 64, q) * int(g[i, s])) % q
+        etab = jnp.asarray(pm.encode_tab(g, gs, wrap))
+        # reference: matmul + explicit encode residues addmod
+        base = modmat._fold_leading(modmat.scaled_cols(pa, rs, ring), ring)
+        want = np.zeros((L, S, m, n), object)
+        for i, q in enumerate(moduli):
+            for s in range(S):
+                for mm in range(m):
+                    for nn in range(n):
+                        v = int(sc[mm, nn])
+                        if v >= 1 << 63:
+                            v -= 1 << 64
+                        enc = (v * int(g[i, s])) % q
+                        base_v = (int(np.asarray(base[0])[i, s, mm, nn]) << 32
+                                  ) | int(np.asarray(base[1])[i, s, mm, nn])
+                        want[i, s, mm, nn] = (base_v + enc) % q
+        encode = ((sch, scl, etab))
+        goth, gotl = pm.matmul_fold_scaled(pa, rs, ring, encode=encode)
+        got = ints(goth, gotl)
+        np.testing.assert_array_equal(got.astype(object), want)
+        # Pallas kernel, interpret mode
+        ld = modmat.digits(pa[0], pa[1], nd).reshape(L * S, m, k * nd)
+        r2 = pm._build_rhs_scaled(np.asarray(rs).reshape(L * S, k, n, nd, nd))
+        tables = jnp.repeat(jnp.asarray(pm._pack_tables(ring, nd)), S, axis=0)
+        ntab = jnp.zeros((L * S, 1, nd), jnp.int32)
+        zero_noise = jnp.zeros((1, m, n), jnp.int8)
+        for use_words in (False, True):
+            oh, ol = pm._fused_scaled_noise_matmul(
+                ld, jnp.asarray(r2), tables, ntab, zero_noise, None,
+                (sch, scl, etab), 8, 4, True, use_words,
+            )
+            got = ints(oh, ol).reshape(L, S, m, n)
+            np.testing.assert_array_equal(got.astype(object), want)
+
     def test_noise_kernel_post_only_interpret(self):
         """The Pallas kernel's post-only branch (zero noise planes + the
         encode addmod) matches matmul-then-addmod exactly."""
