@@ -111,12 +111,11 @@ def main() -> None:
     rng = np.random.default_rng(0)
     scalars = rng.integers(0, 1 << 32, size=(BATCH, N_RECEIVERS), dtype=np.uint64)
     sc_hi, sc_lo = _scalars_to_pairs(scalars)
-    a_pair = gpk.crs.matrix.pair
-    b_pair = gpk.matrix.pair
+    a_dig, b_dig = gpk.encrypt_operands()
 
     def run(i):
         return _encrypt_kernel(
-            params, a_pair[0], a_pair[1], b_pair[0], b_pair[1],
+            params, a_dig, b_dig,
             sc_hi, sc_lo, jax.random.fold_in(key, 777 + i),
         )
 

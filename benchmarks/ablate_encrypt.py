@@ -55,10 +55,9 @@ def make_kernel(params, *, with_e1=True, with_e2=True, with_encode=True,
     k, n, l = params.k, params.n, params.l
 
     @partial(jax.jit, static_argnums=())
-    def kern(a_hi, a_lo, b_hi, b_lo, sc_hi, sc_lo, key):
+    def kern(a_dig, b_dig, sc_hi, sc_lo, key):
         d = sc_hi.shape[0]
         k_r, k_e1, k_e2 = jax.random.split(key, 3)
-        to_ch = lambda x: jnp.transpose(x, (2, 3, 0, 1))
         from_ch = lambda x: jnp.transpose(x, (2, 3, 0, 1))
 
         r_coeffs = sample_vec_cbd_rows(k_r, 0, k, (d, l),
@@ -82,7 +81,7 @@ def make_kernel(params, *, with_e1=True, with_e2=True, with_encode=True,
             n1 = (noise_planes(k_e1, k, params.error_bound_1)
                   if with_e1 else None)
             c1h, c1l = matmul_fold_scaled(
-                (to_ch(a_hi), to_ch(a_lo)), r_scaled, ring, noise=n1)
+                None, r_scaled, ring, noise=n1, lhs_dig=a_dig)
             if with_transpose:
                 out += [from_ch(c1h), from_ch(c1l)]
             else:
@@ -100,8 +99,7 @@ def make_kernel(params, *, with_e1=True, with_e2=True, with_encode=True,
             n2 = (noise_planes(k_e2, n, params.error_bound_2)
                   if with_e2 else None)
             c2h, c2l = matmul_fold_scaled(
-                (to_ch(b_hi), to_ch(b_lo)), r_scaled, ring,
-                noise=n2, encode=enc)
+                None, r_scaled, ring, noise=n2, encode=enc, lhs_dig=b_dig)
             if with_transpose:
                 out += [from_ch(c2h), from_ch(c2l)]
             else:
@@ -126,10 +124,12 @@ def main():
                         (N, K, len(MODULI), ELL)).copy()
     ah, al = map(jnp.asarray, u64op.split_u64_np(a))
     bh, bl = map(jnp.asarray, u64op.split_u64_np(b))
+    a_dig = modmat.lhs_digit_planes(ah, al, params.ring)
+    b_dig = modmat.lhs_digit_planes(bh, bl, params.ring)
     sc = rng.integers(0, 1 << 32, (D, N), dtype=np.uint64)
     sch, scl = map(jnp.asarray, u64op.split_u64_np(sc))
     key = jax.random.key(0)
-    args = (ah, al, bh, bl, sch, scl, key)
+    args = (a_dig, b_dig, sch, scl, key)
 
     print(f"config: n={N} k={K} l={ELL} batch={D} "
           f"bounds=({params.error_bound_1},{params.error_bound_2})")

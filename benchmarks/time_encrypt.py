@@ -40,14 +40,18 @@ def main():
                         (K, K, len(MODULI), ELL)).copy()
     b = np.broadcast_to(np.moveaxis(b, (0, 1), (2, 3)),
                         (N, K, len(MODULI), ELL)).copy()
+    from pvw_tpu.ops import modmat
+
     ah, al = map(jnp.asarray, u64op.split_u64_np(a))
     bh, bl = map(jnp.asarray, u64op.split_u64_np(b))
+    a_dig = modmat.lhs_digit_planes(ah, al, params.ring)
+    b_dig = modmat.lhs_digit_planes(bh, bl, params.ring)
     sc = rng.integers(0, 1 << 32, (D, N), np.uint64)
     sch, scl = _scalars_to_pairs(sc)
     key = jax.random.key(0)
 
     def run(i):
-        return _encrypt_kernel(params, ah, al, bh, bl, sch, scl,
+        return _encrypt_kernel(params, a_dig, b_dig, sch, scl,
                                jax.random.fold_in(key, i))
 
     t0 = time.time()

@@ -103,11 +103,13 @@ class PvwCiphertext:
 # --------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnums=(0,))
-def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
-                    sc_hi, sc_lo, key):
+def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key):
     """d-batched PVW encryption.
 
-    a_*: CRS [k, k, L, l]; b_*: global pk [n, k, L, l];
+    a_dig: CRS digit planes int8 [L, l, k, k*nd]; b_dig: global pk digit
+    planes int8 [L, l, n, k*nd] (both from
+    :func:`pvw_tpu.ops.modmat.lhs_digit_planes` — encryption-invariant,
+    cached on :class:`GlobalPublicKey.encrypt_operands`);
     sc_*: scalars as uint32 pairs [d, n]; key: threefry key.
     Returns c1 [k, d, L, l], c2 [n, d, L, l] pairs.
     """
@@ -117,7 +119,6 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
     d = sc_hi.shape[0]
     k_r, k_e1, k_e2 = jax.random.split(key, 3)
 
-    to_channels = lambda x: jnp.transpose(x, (2, 3, 0, 1))   # [.,.,L,l]->[L,l,.,.]
     from_channels = lambda x: jnp.transpose(x, (2, 3, 0, 1))
 
     # r: row-keyed CBD ("stream v2": row j from fold_in(k_r, j), so mesh
@@ -164,7 +165,7 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
     # c1 = A·r + e1                                      (encryption.rs:156-173)
     n1 = _noise_planes(k_e1, k, params.error_bound_1)
     c1h, c1l = matmul_fold_scaled(
-        (to_channels(a_hi), to_channels(a_lo)), r_scaled, ring, noise=n1
+        None, r_scaled, ring, noise=n1, lhs_dig=a_dig
     )                                                           # [L,l,k,d]
     if n1 is None:
         e1h, e1l = _noise_residues_ch(k_e1, k, params.error_bound_1)
@@ -185,8 +186,7 @@ def _encrypt_kernel(params: PvwParameters, a_hi, a_lo, b_hi, b_lo,
     # c2 = B·r + encode(scalars) + e2                    (encryption.rs:175-200)
     n2 = _noise_planes(k_e2, n, params.error_bound_2)
     c2h, c2l = matmul_fold_scaled(
-        (to_channels(b_hi), to_channels(b_lo)), r_scaled, ring,
-        noise=n2, encode=enc,
+        None, r_scaled, ring, noise=n2, encode=enc, lhs_dig=b_dig,
     )                                                           # [L,l,n,d]
     if n2 is None:
         e2h, e2l = _noise_residues_ch(k_e2, n, params.error_bound_2)
@@ -252,9 +252,9 @@ def encrypt_batch(all_scalars, global_pk: GlobalPublicKey,
             "the device sampling path"
         )
     sc_hi, sc_lo = _scalars_to_pairs(arr)
+    a_dig, b_dig = global_pk.encrypt_operands()
     c1h, c1l, c2h, c2l = _encrypt_kernel(
-        params, *global_pk.crs.matrix.pair, *global_pk.matrix.pair,
-        sc_hi, sc_lo, key,
+        params, a_dig, b_dig, sc_hi, sc_lo, key,
     )
     c1 = Poly(c1h, c1l, Representation.Ntt, params.ring)
     c2 = Poly(c2h, c2l, Representation.Ntt, params.ring)

@@ -368,6 +368,28 @@ class GlobalPublicKey:
 
     # -- accessors -------------------------------------------------------
 
+    def encrypt_operands(self):
+        """Cached channel-major digit planes of (A, B) — the encryption-
+        invariant lhs operands of the fused encryption kernel (int8
+        [L, l, k, k*nd] / [L, l, n, k*nd]). Recomputed automatically when
+        the key matrix changes (``self.matrix`` is reassigned by every
+        mutator, so identity comparison is the invalidation signal; the
+        cache holds references, so ids cannot be recycled)."""
+        from ..ops import modmat
+
+        src = (self.crs.matrix.hi, self.matrix.hi)
+        cached = getattr(self, "_enc_ops", None)
+        if cached is None or cached[0][0] is not src[0] \
+                or cached[0][1] is not src[1]:
+            planes = (
+                modmat.lhs_digit_planes(*self.crs.matrix.pair,
+                                        self.params.ring),
+                modmat.lhs_digit_planes(*self.matrix.pair, self.params.ring),
+            )
+            self._enc_ops = (src, planes)
+            cached = self._enc_ops
+        return cached[1]
+
     def get_public_key(self, index: int) -> Optional[PublicKey]:
         """``public_key.rs:283-301``."""
         if index >= self.num_keys:

@@ -26,6 +26,7 @@ the systolic array.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import TYPE_CHECKING
 
 import jax
@@ -247,21 +248,44 @@ def prescale_digits(rhs, ring: "RingPlan"):
     return jnp.stack(outs, axis=-2)              # [L, S, k, n, nd(i), nd(j)]
 
 
-def scaled_cols(lhs, rhs_scaled, ring: "RingPlan"):
+@partial(jax.jit, static_argnums=(2,))
+def lhs_digit_planes(hi, lo, ring: "RingPlan"):
+    """Canonical poly-layout pair [m, k, L, l] -> channel-major int8 digit
+    planes [L, l, m, k*nd] (k-major, digit-minor) — the encryption-
+    invariant lhs operand of the fused scaled matmul. Key matrices are
+    encrypted against many times; caching these planes replaces the
+    per-call transpose + digit decomposition of the u32 pair (and reads
+    nd bytes per residue instead of 8)."""
+    m, k, L, l = hi.shape
+    nd = ring.num_digits
+    hc = jnp.transpose(hi, (2, 3, 0, 1))
+    lc = jnp.transpose(lo, (2, 3, 0, 1))
+    return digits(hc, lc, nd).reshape(L, l, m, k * nd)
+
+
+def scaled_cols(lhs, rhs_scaled, ring: "RingPlan", lhs_dig=None):
     """Digit matmul against a prescaled rhs: nd narrow columns.
 
     lhs: pair [L, S, m, k]; rhs_scaled: int8 [L, S, k, n, nd, nd]
     (from :func:`prescale_digits`) -> int32 columns [L, S, m, n, nd].
     Column magnitude <= k * nd * 2^14 (int32-safe for k <= MAX_CONTRACTION).
+    ``lhs_dig``: optional pre-decomposed lhs digit planes [L, S, m, k*nd]
+    (see :func:`lhs_digit_planes`); ``lhs`` is ignored when given.
     """
-    lh, ll = lhs
-    L, S, m, k = lh.shape
-    n = rhs_scaled.shape[3]
     nd = ring.num_digits
+    if lhs_dig is not None:
+        L, S, m, kd = lhs_dig.shape
+        k = kd // nd
+        l2 = lhs_dig
+    else:
+        lh, ll = lhs
+        L, S, m, k = lh.shape
+    n = rhs_scaled.shape[3]
     if k > MAX_CONTRACTION:
         raise ValueError(f"contraction {k} exceeds int32 headroom {MAX_CONTRACTION}")
-    ld = digits(lh, ll, nd)                      # [L, S, m, k, nd(i)]
-    l2 = ld.reshape(L, S, m, k * nd)             # k-major, i-minor
+    if lhs_dig is None:
+        ld = digits(lh, ll, nd)                  # [L, S, m, k, nd(i)]
+        l2 = ld.reshape(L, S, m, k * nd)         # k-major, i-minor
     r2 = jnp.transpose(rhs_scaled, (0, 1, 2, 4, 5, 3)).reshape(
         L, S, k * nd, nd * n
     )                                            # (k,i) x (j,n)

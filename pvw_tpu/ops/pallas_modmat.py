@@ -405,7 +405,7 @@ def _encode_residues_xla(encode, L, S, ring: "RingPlan"):
 
 
 def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
-                       post=None, encode=None):
+                       post=None, encode=None, lhs_dig=None):
     """Fused modular matmul against a PRESCALED rhs (scaled-digit form).
 
     lhs: pair [L, S, m, k]; rhs_scaled: int8 [L, S, k, n, nd, nd] from
@@ -431,22 +431,31 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
     constant row enc_tab uint32 [L*S, 8] (g, Shoup(g), (2^64 mod q)*g;
     see :func:`encode_tab`). Replaces materializing the [L, S, m, n]
     encode residues through HBM. Addmodded after ``post``.
+
+    ``lhs_dig``: optional pre-decomposed lhs digit planes int8
+    [L, S, m, k*nd] (:func:`pvw_tpu.ops.modmat.lhs_digit_planes`) —
+    cache these for encryption-invariant operands (key matrices);
+    ``lhs`` is ignored when given.
     """
     import os
 
     from . import modmat
 
-    lh, ll = lhs
-    L, S, m, k = lh.shape
-    n = rhs_scaled.shape[3]
     nd = ring.num_digits
-    kd = k * nd
+    if lhs_dig is not None:
+        L, S, m, kd = lhs_dig.shape
+        k = kd // nd
+    else:
+        lh, ll = lhs
+        L, S, m, k = lh.shape
+        kd = k * nd
+    n = rhs_scaled.shape[3]
     if noise is not None and S != ring.degree:
         raise ValueError("noise fusion requires the channel minor axis "
                          "to be the NTT point axis (S == ring.degree)")
 
     def _xla():
-        cols = modmat.scaled_cols(lhs, rhs_scaled, ring)
+        cols = modmat.scaled_cols(lhs, rhs_scaled, ring, lhs_dig=lhs_dig)
         if noise is not None:
             cols = cols + _noise_cols_xla(noise, ring)
         oh, ol = modmat._fold_leading(cols, ring)
@@ -479,7 +488,8 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
     tile_n = min(tile_n, n)
     while n % tile_n:
         tile_n //= 2
-    ld = modmat.digits(lh, ll, nd).reshape(L * S, m, kd)
+    ld = (lhs_dig.reshape(L * S, m, kd) if lhs_dig is not None
+          else modmat.digits(lh, ll, nd).reshape(L * S, m, kd))
     r2 = _build_rhs_scaled(rhs_scaled.reshape(L * S, k, n, nd, nd))
     tables = jnp.repeat(jnp.asarray(_pack_tables(ring, nd)), S, axis=0)
     if noise is None and post is None and encode is None:
