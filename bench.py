@@ -114,9 +114,11 @@ def main() -> None:
     a_dig, b_dig = gpk.encrypt_operands()
 
     def run(i):
+        # scalars are < 2^32, matching encrypt_batch's auto-detection of
+        # the 32-bit encode fast path
         return _encrypt_kernel(
             params, a_dig, b_dig,
-            sc_hi, sc_lo, jax.random.fold_in(key, 777 + i),
+            sc_hi, sc_lo, jax.random.fold_in(key, 777 + i), True,
         )
 
     t0 = time.time()

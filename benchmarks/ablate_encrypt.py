@@ -92,7 +92,7 @@ def make_kernel(params, *, with_e1=True, with_e2=True, with_encode=True,
 
                 etab = jnp.asarray(encode_tab(
                     params.gadget_ntt, params.gadget_ntt_shoup,
-                    params.gadget_wrap))
+                    params.gadget_wrap, ring.moduli))
                 enc = (jnp.transpose(sc_hi), jnp.transpose(sc_lo), etab)
             else:
                 enc = None

@@ -51,8 +51,9 @@ def main():
     key = jax.random.key(0)
 
     def run(i):
+        # scalars are < 2^32 here, matching encrypt_batch's auto-detection
         return _encrypt_kernel(params, a_dig, b_dig, sch, scl,
-                               jax.random.fold_in(key, i))
+                               jax.random.fold_in(key, i), True)
 
     t0 = time.time()
     out = run(0)

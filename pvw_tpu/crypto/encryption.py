@@ -102,8 +102,9 @@ class PvwCiphertext:
 # the jitted batched kernel
 # --------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=(0,))
-def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key):
+@partial(jax.jit, static_argnums=(0, 6))
+def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
+                    encode32: bool = False):
     """d-batched PVW encryption.
 
     a_dig: CRS digit planes int8 [L, l, k, k*nd]; b_dig: global pk digit
@@ -111,6 +112,9 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key):
     :func:`pvw_tpu.ops.modmat.lhs_digit_planes` — encryption-invariant,
     cached on :class:`GlobalPublicKey.encrypt_operands`);
     sc_*: scalars as uint32 pairs [d, n]; key: threefry key.
+    ``encode32`` (static): all scalars are < 2^32 — host-checked by
+    :func:`encrypt_batch` — so the in-kernel encode uses one 32-bit Shoup
+    multiply and skips the i64-wrap correction.
     Returns c1 [k, d, L, l], c2 [n, d, L, l] pairs.
     """
     ring = params.ring
@@ -179,7 +183,8 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key):
     from ..ops.pallas_modmat import encode_tab
 
     etab = jnp.asarray(encode_tab(
-        params.gadget_ntt, params.gadget_ntt_shoup, params.gadget_wrap
+        params.gadget_ntt, params.gadget_ntt_shoup, params.gadget_wrap,
+        ring.moduli,
     ))
     enc = (jnp.transpose(sc_hi), jnp.transpose(sc_lo), etab)     # sc [n, d]
 
@@ -187,6 +192,7 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key):
     n2 = _noise_planes(k_e2, n, params.error_bound_2)
     c2h, c2l = matmul_fold_scaled(
         None, r_scaled, ring, noise=n2, encode=enc, lhs_dig=b_dig,
+        encode32=encode32,
     )                                                           # [L,l,n,d]
     if n2 is None:
         e2h, e2l = _noise_residues_ch(k_e2, n, params.error_bound_2)
@@ -253,8 +259,9 @@ def encrypt_batch(all_scalars, global_pk: GlobalPublicKey,
         )
     sc_hi, sc_lo = _scalars_to_pairs(arr)
     a_dig, b_dig = global_pk.encrypt_operands()
+    encode32 = not bool(np.any(arr >> np.uint64(32)))
     c1h, c1l, c2h, c2l = _encrypt_kernel(
-        params, a_dig, b_dig, sc_hi, sc_lo, key,
+        params, a_dig, b_dig, sc_hi, sc_lo, key, encode32,
     )
     c1 = Poly(c1h, c1l, Representation.Ntt, params.ring)
     c2 = Poly(c2h, c2l, Representation.Ntt, params.ring)

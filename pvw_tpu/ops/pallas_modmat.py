@@ -37,7 +37,8 @@ if TYPE_CHECKING:
 
 
 def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
-                    use_words: bool = False, has_encode: bool = False):
+                    use_words: bool = False, has_encode: bool = False,
+                    encode32: bool = False):
     """Factory for the fused matmul+fold kernel bodies.
 
     All variants bias each int32 column by +2^31 and accumulate groups of
@@ -64,6 +65,9 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
       scalar-pair tile and per-channel constants (g, its Shoup companion,
       and the u64->i64 wrap correction (2^64 mod q)*g mod q) and addmod it
       post-fold — the [CH, m, n] encode residues never exist in HBM.
+    - ``encode32``: all scalars are < 2^32 (host-checked): the encode is a
+      single 32-bit Shoup multiply of the low word and the i64-wrap
+      correction is statically dead (~half the encode VPU ops).
 
     Ref order: tables [CH, 36] u32 SMEM; (enc_tab [1, 8] u32 SMEM if
     has_encode); (ntab [1, ljr, C] i32 SMEM if has_noise);
@@ -83,7 +87,10 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
         if has_post:
             post_hi_ref, post_lo_ref = refs.pop(0), refs.pop(0)
         if has_encode:
-            sc_hi_ref, sc_lo_ref = refs.pop(0), refs.pop(0)
+            if encode32:
+                sc_lo_ref = refs.pop(0)
+            else:
+                sc_hi_ref, sc_lo_ref = refs.pop(0), refs.pop(0)
         out_hi_ref, out_lo_ref = refs
         tm = lhs_ref.shape[1]
         n = out_hi_ref.shape[2]
@@ -171,17 +178,25 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
                               qh, ql)
         if has_encode:
             et = enc_tab_ref
-            sch, scl = sc_hi_ref[...], sc_lo_ref[...]
-            eh, el = u.shoup_mul64_arr(
-                sch, scl, et[0, 0, 0], et[0, 0, 1], et[0, 0, 2],
-                et[0, 0, 3], qh, ql,
-            )
-            # Rust `as i64` wrap (encryption.rs:195): scalars >= 2^63
-            # encode as m - 2^64, i.e. subtract (2^64 mod q)*g mod q
-            wh, wl = u.submod(eh, el, et[0, 0, 4], et[0, 0, 5], qh, ql)
-            neg = sch >= jnp.uint32(1 << 31)
-            eh = jnp.where(neg, wh, eh)
-            el = jnp.where(neg, wl, el)
+            if encode32:
+                # scalars < 2^32: one 32-bit Shoup (et[6] = g's 32-bit
+                # companion), and the i64 wrap cannot trigger
+                eh, el = u.shoup_mul32_arr(
+                    sc_lo_ref[...], et[0, 0, 0], et[0, 0, 1], et[0, 0, 6],
+                    qh, ql,
+                )
+            else:
+                sch, scl = sc_hi_ref[...], sc_lo_ref[...]
+                eh, el = u.shoup_mul64_arr(
+                    sch, scl, et[0, 0, 0], et[0, 0, 1], et[0, 0, 2],
+                    et[0, 0, 3], qh, ql,
+                )
+                # Rust `as i64` wrap (encryption.rs:195): scalars >= 2^63
+                # encode as m - 2^64, i.e. subtract (2^64 mod q)*g mod q
+                wh, wl = u.submod(eh, el, et[0, 0, 4], et[0, 0, 5], qh, ql)
+                neg = sch >= jnp.uint32(1 << 31)
+                eh = jnp.where(neg, wh, eh)
+                el = jnp.where(neg, wl, el)
             oh, ol = u.addmod(oh, ol, eh, el, qh, ql)
         out_hi_ref[0] = oh
         out_lo_ref[0] = ol
@@ -304,10 +319,11 @@ def _pick_tiles(m: int, n: int, kd: int, C: int, extra_mn: int = 0):
     return None
 
 
-@partial(jax.jit, static_argnums=(7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
 def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
                                encode, tile_m: int, tile_n: int,
-                               interpret: bool, use_words: bool = False):
+                               interpret: bool, use_words: bool = False,
+                               encode32: bool = False):
     """lhs_dig int8 [CH, m, kd]; band int8 [CH, nd, kd, n]; tables uint32
     [CH, 36]; ntab int32 [CH, ljr, nd]; noise int8 [ljr, m, n]; post
     None or pair of uint32 [CH, m, n]; encode None or (sc_hi, sc_lo,
@@ -358,14 +374,18 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
         in_specs += [mn_spec(), mn_spec()]
         operands += [post[0], post[1]]
     if has_encode:
-        in_specs += [sc_spec(), sc_spec()]
-        operands += [encode[0], encode[1]]
+        if encode32:
+            in_specs += [sc_spec()]
+            operands += [encode[1]]          # low words only
+        else:
+            in_specs += [sc_spec(), sc_spec()]
+            operands += [encode[0], encode[1]]
     out_shape = [
         jax.ShapeDtypeStruct((ch, m, n), jnp.uint32),
         jax.ShapeDtypeStruct((ch, m, n), jnp.uint32),
     ]
     oh, ol = pl.pallas_call(
-        _make_fold_body(2, True, has_post, use_words, has_encode),
+        _make_fold_body(2, True, has_post, use_words, has_encode, encode32),
         grid=grid,
         in_specs=in_specs,
         out_specs=[mn_spec(), mn_spec()],
@@ -405,7 +425,8 @@ def _encode_residues_xla(encode, L, S, ring: "RingPlan"):
 
 
 def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
-                       post=None, encode=None, lhs_dig=None):
+                       post=None, encode=None, lhs_dig=None,
+                       encode32: bool = False):
     """Fused modular matmul against a PRESCALED rhs (scaled-digit form).
 
     lhs: pair [L, S, m, k]; rhs_scaled: int8 [L, S, k, n, nd, nd] from
@@ -512,21 +533,29 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
         post_ch = (post[0].reshape(L * S, m, n), post[1].reshape(L * S, m, n))
     oh, ol = _fused_scaled_noise_matmul(
         ld, r2, tables, ntab, noise, post_ch, encode, tile_m, tile_n, False,
-        ring.fold_words_ok,
+        ring.fold_words_ok, encode32,
     )
     return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)
 
 
 def encode_tab(gadget_ntt: np.ndarray, gadget_ntt_shoup: np.ndarray,
-               gadget_wrap: np.ndarray) -> np.ndarray:
+               gadget_wrap: np.ndarray,
+               moduli: tuple[int, ...]) -> np.ndarray:
     """Pack the per-channel gadget-encode constants for ``encode=``:
-    uint32 [L*l, 8] rows (g_hi, g_lo, gs_hi, gs_lo, wrap_hi, wrap_lo, 0, 0)
-    from the [L, l] uint64 tables on :class:`PvwParameters`."""
+    uint32 [L*l, 8] rows (g_hi, g_lo, gs_hi, gs_lo, wrap_hi, wrap_lo,
+    gs32, 0) from the [L, l] uint64 tables on :class:`PvwParameters`;
+    gs32 = floor(g << 32 / q) is the 32-bit Shoup companion used by the
+    small-scalar encode fast path."""
     gh, gl = u.split_u64_np(gadget_ntt)
     sh, sl = u.split_u64_np(gadget_ntt_shoup)
     wh, wl = u.split_u64_np(gadget_wrap)
+    L, l = gadget_ntt.shape
+    gs32 = np.zeros((L, l), np.uint32)
+    for i, q in enumerate(moduli):
+        for s in range(l):
+            gs32[i, s] = (int(gadget_ntt[i, s]) << 32) // q
     out = np.zeros((gadget_ntt.size, 8), np.uint32)
-    for i, arr in enumerate((gh, gl, sh, sl, wh, wl)):
+    for i, arr in enumerate((gh, gl, sh, sl, wh, wl, gs32)):
         out[:, i] = arr.reshape(-1)
     return out
 

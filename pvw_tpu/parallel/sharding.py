@@ -134,7 +134,7 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
 
             etab = jnp.asarray(encode_tab(
                 params.gadget_ntt, params.gadget_ntt_shoup,
-                params.gadget_wrap,
+                params.gadget_wrap, ring.moduli,
             ))
             enc_k = (jnp.transpose(sc_hi), jnp.transpose(sc_lo), etab)
         else:

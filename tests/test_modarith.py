@@ -285,8 +285,8 @@ class TestMatmul:
         pch = (pph.reshape(L * S, m, n), ppl.reshape(L * S, m, n))
         for use_words in (False, ring.fold_words_ok):
             oh, ol = pm._fused_scaled_noise_matmul(
-                ld, jnp.asarray(r2), tables, ntab, planes, pch, 8, 4, True,
-                use_words,
+                ld, jnp.asarray(r2), tables, ntab, planes, pch, None,
+                8, 4, True, use_words,
             )
             np.testing.assert_array_equal(
                 np.asarray(oh).reshape(L, S, m, n), np.asarray(refh)
@@ -325,7 +325,7 @@ class TestMatmul:
             for s in range(S):
                 gs[i, s] = (int(g[i, s]) << 64) // q
                 wrap[i, s] = (pow(2, 64, q) * int(g[i, s])) % q
-        etab = jnp.asarray(pm.encode_tab(g, gs, wrap))
+        etab = jnp.asarray(pm.encode_tab(g, gs, wrap, moduli))
         # reference: matmul + explicit encode residues addmod
         base = modmat._fold_leading(modmat.scaled_cols(pa, rs, ring), ring)
         want = np.zeros((L, S, m, n), object)
@@ -357,6 +357,20 @@ class TestMatmul:
             )
             got = ints(oh, ol).reshape(L, S, m, n)
             np.testing.assert_array_equal(got.astype(object), want)
+        # encode32 fast path: small scalars must produce the identical
+        # residues through the 32-bit Shoup branch
+        sc32 = sc % (1 << 32)
+        sch32, scl32 = pairs(sc32)
+        ref32h, ref32l = pm._fused_scaled_noise_matmul(
+            ld, jnp.asarray(r2), tables, ntab, zero_noise, None,
+            (sch32, scl32, etab), 8, 4, True, True, False,
+        )
+        got32h, got32l = pm._fused_scaled_noise_matmul(
+            ld, jnp.asarray(r2), tables, ntab, zero_noise, None,
+            (sch32, scl32, etab), 8, 4, True, True, True,
+        )
+        np.testing.assert_array_equal(np.asarray(got32h), np.asarray(ref32h))
+        np.testing.assert_array_equal(np.asarray(got32l), np.asarray(ref32l))
 
     def test_noise_kernel_post_only_interpret(self):
         """The Pallas kernel's post-only branch (zero noise planes + the
@@ -384,7 +398,8 @@ class TestMatmul:
         zero_noise = jnp.zeros((1, m, n), jnp.int8)
         pch = (pph.reshape(L * S, m, n), ppl.reshape(L * S, m, n))
         oh, ol = pm._fused_scaled_noise_matmul(
-            ld, jnp.asarray(r2), tables, ntab, zero_noise, pch, 8, 4, True
+            ld, jnp.asarray(r2), tables, ntab, zero_noise, pch, None,
+            8, 4, True,
         )
         np.testing.assert_array_equal(
             np.asarray(oh).reshape(L, S, m, n), np.asarray(refh)
