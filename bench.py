@@ -33,10 +33,11 @@ N_RECEIVERS = 4096
 K_DIM = 256
 ELL = 8
 MODULI = (0xFFFFC4001, 0x1FFFFE0001)
-# Measured-best dispatch size on v5e (digit-width x batch sweep,
-# benchmarks/sweep_digits.py): batch 1024 at the adaptive 5-digit width.
-# Small batches trip pathologically slow XLA schedules for this shape.
-BATCH = 1024
+# Measured-best dispatch size on v5e: enc/s at batch 1024/2048/4096 =
+# 56016/64804/67499 (benchmarks/time_encrypt.py sweep) — the ~4.6 ms
+# per-dispatch host gap amortizes with batch. Small batches additionally
+# trip pathologically slow XLA schedules for this shape.
+BATCH = 4096
 
 
 def log(*a):
