@@ -2,12 +2,19 @@
 
 Rebuild of ``sample_uniform_coefficients`` (``uniform.rs:5-22``): uniform
 integers in the closed interval [-bound, bound]. The reference draws BigInts
-with rejection sampling (``gen_bigint_range``); on TPU we draw 128 random
-bits per sample and take ``floor(X * range / 2^128)`` — statistical distance
-from uniform is < range/2^128 < 2^-66 for any bound < 2^62, i.e. negligible
-at the 128-bit security level (documented divergence: not bit-identical to
-rand's rejection loop, which is unreachable anyway because the reference
-only ever calls it through unseeded ``thread_rng``).
+with rejection sampling (``gen_bigint_range``); on TPU we draw W random
+bits per sample and take ``floor(X * range / 2^W)`` — statistical distance
+from uniform is < range/2^W, kept below 2^-66 for every supported bound
+(negligible at the 128-bit security level; documented divergence: not
+bit-identical to rand's rejection loop, which is unreachable anyway because
+the reference only ever calls it through unseeded ``thread_rng``).
+
+W adapts to the range ("stream v3"): W=96 for range < 2^30 (the error
+bounds of every practical config — 25% fewer threefry words and a ~3x
+cheaper reduction than the 128-bit form), W=128 otherwise (range up to
+2^62, distance < 2^-66 still). Stream history: v3 changed the drawn
+values for small bounds (golden pins updated); v2 introduced row-keyed
+draws; v1 was whole-array 128-bit draws.
 
 Samples are returned directly as centered RNS residues [..., L, l], skipping
 the reference's BigInt -> ``bigints_to_poly`` detour (``parameters.rs:266``).
@@ -24,9 +31,29 @@ from ..params.ring import RingPlan
 
 
 def sample_bounded_u64(key: jax.Array, shape: tuple[int, ...], range_size: int):
-    """Uniform integers in [0, range_size) as uint32 pairs, range < 2^63."""
+    """Uniform integers in [0, range_size) as uint32 pairs.
+
+    range < 2^30: 96-bit draw, distance < 2^-66 (the fast path — every
+    practical error bound); range < 2^63: 128-bit draw, distance < 2^-66
+    for range < 2^62."""
     if not 1 <= range_size < 1 << 63:
         raise SamplingError(f"range {range_size} out of supported bounds")
+    if range_size < 1 << 30:
+        # v = floor((x2*2^64 + x1*2^32 + x0) * range / 2^96): sum the
+        # 32x32 partial products by weight; v = word 3 of the 128-bit sum.
+        bits = jax.random.bits(key, shape + (3,), dtype=jnp.uint32)
+        r = jnp.uint32(range_size)
+        h0, _l0 = u.mul32_wide(bits[..., 2], r)        # weight 2^0
+        h1, l1 = u.mul32_wide(bits[..., 1], r)         # weight 2^32
+        h2, l2 = u.mul32_wide(bits[..., 0], r)         # weight 2^64
+        s32 = h0 + l1
+        c32 = (s32 < h0).astype(u.U32)
+        s64 = h1 + l2
+        c64a = (s64 < h1).astype(u.U32)
+        s64 = s64 + c32
+        c64b = (s64 == 0).astype(u.U32) & c32
+        v = h2 + c64a + c64b                           # < range < 2^30
+        return jnp.zeros_like(v), v
     bits = jax.random.bits(key, shape + (4,), dtype=jnp.uint32)
     x_hh, x_hl = bits[..., 0], bits[..., 1]
     x_lh, x_ll = bits[..., 2], bits[..., 3]

@@ -10,9 +10,11 @@ compatibility breaks that must be release-noted, not silent.
 (The pins assume jax's default threefry bit stream; a jax upgrade that
 changes it would trip these tests loudly, which is the desired behavior.)
 
-Stream history: v2 (row-keyed sampling — r/e1/e2 rows derive from
-fold_in(key, global_row) so mesh shards sample only their rows; changed
-gpk/ciphertext pins). v1 was whole-array draws.
+Stream history: v3 (adaptive draw width — bounded-uniform draws use 96
+random bits when range < 2^30, still < 2^-66 statistical distance;
+changed gpk/ciphertext pins). v2 introduced row-keyed sampling — r/e1/e2
+rows derive from fold_in(key, global_row) so mesh shards sample only
+their rows. v1 was whole-array 128-bit draws.
 """
 
 import hashlib
@@ -61,12 +63,12 @@ def test_secret_key_hash(system):
 
 def test_global_pk_hash(system):
     _, _, gpk, _, _ = system
-    assert _h(gpk.matrix.residues_np()) == "cf0329ddf27968e2"
+    assert _h(gpk.matrix.residues_np()) == "8d40adf52c1c9af2"
 
 
 def test_ciphertext_hash(system):
     p, _, gpk, _, key = system
     sc = np.arange(2 * p.n, dtype=np.uint64).reshape(2, p.n)
     ct = encrypt_batch(sc, gpk, jax.random.fold_in(key, 7))
-    assert _h(ct.c1.residues_np()) == "ff145153fe575a3b"
-    assert _h(ct.c2.residues_np()) == "3e67d2b6088655a0"
+    assert _h(ct.c1.residues_np()) == "9c7654078768ba8f"
+    assert _h(ct.c2.residues_np()) == "2d627fd108fc81bd"
