@@ -57,20 +57,21 @@ def main():
         return _noisy_message_kernel(params, skh, skl, c1h, c1l, c2h, c2l)
 
     t0 = time.time()
-    zh, zl = device_stage()
-    np.asarray(zh[:1])
+    z = device_stage()
+    np.asarray(z[:1, :1])
     print(f"warm (compile+run) {time.time() - t0:.1f}s", flush=True)
 
     iters = 10
     t0 = time.time()
     for _ in range(iters):
-        zh, zl = device_stage()
-    np.asarray(zh[:1])
+        z = device_stage()
+    np.asarray(z[:1, :1])
     dev_dt = (time.time() - t0) / iters
     print(f"device stage: {dev_dt * 1000:.2f} ms / {D} msgs "
           f"({D / dev_dt:.0f} msg/s)", flush=True)
 
-    residues = u64op.join_u64_np(np.asarray(zh), np.asarray(zl))
+    zn = np.asarray(z)
+    residues = u64op.join_u64_np(zn[0], zn[1])
     t0 = time.time()
     out = _decode_batch(residues, params)
     dec_dt = time.time() - t0
@@ -78,12 +79,12 @@ def main():
     print(f"host decode (native): {dec_dt * 1000:.2f} ms / {D} msgs "
           f"({dec_dt / D * 1e6:.2f} us/msg)", flush=True)
 
-    # end-to-end: device + fetch + decode, pipelined over 4 batches
+    # end-to-end: device + single stacked fetch + decode
     t0 = time.time()
     iters = 4
     for _ in range(iters):
-        zh, zl = device_stage()
-        residues = u64op.join_u64_np(np.asarray(zh), np.asarray(zl))
+        zn = np.asarray(device_stage())
+        residues = u64op.join_u64_np(zn[0], zn[1])
         out = _decode_batch(residues, params)
     e2e = (time.time() - t0) / iters
     print(f"end-to-end: {e2e * 1000:.2f} ms / {D} msgs "

@@ -48,13 +48,16 @@ def _noisy_message_kernel(params: PvwParameters, sk_hi, sk_lo,
     """z = <s, c1> - c2, inverse-NTT'd to PowerBasis.
 
     sk_*: [k, L, l] (NTT); c1_*: [k, d, L, l]; c2_*: [d, L, l]
-    -> residues [d, L, l] in PowerBasis.
+    -> STACKED residues uint32 [2, d, L, l] (hi, lo) in PowerBasis — one
+    array so the host decode needs a single device->host fetch (each
+    fetch costs a ~25 ms sync over the axon tunnel).
     """
     ring = params.ring
     lhs = (sk_hi[None], sk_lo[None])                       # [1, k, L, l]
     prod = modmat.poly_matmul(lhs, (c1_hi, c1_lo), ring)   # [1, d, L, l]
     z = modmat.poly_sub((prod[0][0], prod[1][0]), (c2_hi, c2_lo), ring)
-    return ntt_ops.ntt_inverse(z, ring)
+    zh, zl = ntt_ops.ntt_inverse(z, ring)
+    return jnp.stack([zh, zl])
 
 
 # --------------------------------------------------------------------------
@@ -153,12 +156,12 @@ def decrypt_party_value(ciphertext: PvwCiphertext, secret_key: SecretKey,
     sk = secret_key.to_polynomials()
     c1 = ciphertext.c1
     c2 = ciphertext.c2[party_index]
-    zh, zl = _noisy_message_kernel(
+    z = np.asarray(_noisy_message_kernel(
         params, sk.hi, sk.lo,
         c1.hi[:, None], c1.lo[:, None],
         c2.hi[None], c2.lo[None],
-    )
-    residues = u64op.join_u64_np(np.asarray(zh), np.asarray(zl))
+    ))
+    residues = u64op.join_u64_np(z[0], z[1])
     return decode_scalar_pvw_rns(residues[0], params)
 
 
@@ -206,8 +209,8 @@ def decrypt_party_shares(all_ciphertexts, secret_key: SecretKey,
         c2_lo = jnp.stack([ct.c2.lo[party_index] for ct in all_ciphertexts])
 
     sk = secret_key.to_polynomials()
-    zh, zl = _noisy_message_kernel(
+    z = np.asarray(_noisy_message_kernel(
         params, sk.hi, sk.lo, c1_hi, c1_lo, c2_hi, c2_lo
-    )
-    residues = u64op.join_u64_np(np.asarray(zh), np.asarray(zl))
+    ))
+    residues = u64op.join_u64_np(z[0], z[1])
     return _decode_batch(residues, params)

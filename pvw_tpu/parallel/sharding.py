@@ -126,9 +126,9 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         whole_k = kd == 1  # contraction local -> noise/encode can fuse
 
         # encode of the local scalars (sc sharded over recv on axis 1):
-        # in-kernel from scalar tiles when the contraction is local,
-        # materialized channel-major otherwise (the kdim>1 path adds it
-        # after the cross-shard reduction)
+        # in-kernel from scalar tiles when the contraction is local; the
+        # kdim>1 path materializes it row-split across the kdim shards
+        # below (pre-gather) or in full after the cross-shard reduction
         if whole_k:
             from ..ops.pallas_modmat import encode_tab
 
@@ -137,8 +137,18 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
                 params.gadget_wrap, ring.moduli,
             ))
             enc_k = (jnp.transpose(sc_hi), jnp.transpose(sc_lo), etab)
-        else:
-            enc_ch = _encode_channel_major(params, sc_hi, sc_lo, ring)
+
+        def _bake_rows(parts, noise_pair, row0, rows):
+            """Add a noise row-block into a partial-sum tensor at
+            [row0, row0+rows) BEFORE the kdim gather — the gather-sum then
+            contains the noise exactly once (modular adds commute, so the
+            result is bit-identical to adding it after the sum)."""
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, row0, rows, 0)
+            s = modmat.poly_add((sl(parts[0]), sl(parts[1])), noise_pair,
+                                ring)
+            upd = lambda x, v: jax.lax.dynamic_update_slice_in_dim(
+                x, v, row0, 0)
+            return upd(parts[0], s[0]), upd(parts[1], s[1])
 
         # c1 partial over the local k block, then gather+addmod over kdim
         n1 = _noise_planes(k_e1, 0, k, params.error_bound_1) if whole_k \
@@ -147,9 +157,14 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
             (to_ch(a_hi), to_ch(a_lo)), r_scaled, ring, noise=n1
         )
         c1p = (from_ch(c1p_ch[0]), from_ch(c1p_ch[1]))
+        if n1 is None and kd > 1:
+            # each kdim shard samples ONLY its k-row block of e1 (row-keyed
+            # stream: the same values the single-device draw places there)
+            e1b = _noise_ntt(k_e1, my_k * kc, kc, params.error_bound_1)
+            c1p = _bake_rows(c1p, e1b, my_k * kc, kc)
         c1_hi, c1_lo = _modsum_gathered(c1p[0], c1p[1], ring, "kdim")
         c1 = (c1_hi, c1_lo)
-        if n1 is None:
+        if n1 is None and kd == 1:
             e1 = _noise_ntt(k_e1, 0, k, params.error_bound_1)
             c1 = modmat.poly_add(c1, e1, ring)
 
@@ -164,13 +179,32 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
             encode=enc_k if whole_k else None,
         )
         c2p = (from_ch(c2p_ch[0]), from_ch(c2p_ch[1]))
+        # kdim > 1: split the per-receiver-block e2 + encode work across
+        # the kdim shards (each bakes 1/kd of the rows into its partial
+        # pre-gather) instead of every shard redundantly computing all of
+        # it post-gather; falls back when nl does not divide.
+        split_rows = kd > 1 and nl % kd == 0
+        nlk = nl // kd if split_rows else 0
+        if n2 is None and split_rows:
+            e2b = _noise_ntt(k_e2, my_r * nl + my_k * nlk, nlk,
+                             params.error_bound_2)
+            c2p = _bake_rows(c2p, e2b, my_k * nlk, nlk)
+        if not whole_k and split_rows:
+            row0 = my_k * nlk
+            sc_sl = (jax.lax.dynamic_slice_in_dim(sc_hi, row0, nlk, 1),
+                     jax.lax.dynamic_slice_in_dim(sc_lo, row0, nlk, 1))
+            enc_b = _encode_channel_major(params, sc_sl[0], sc_sl[1], ring)
+            enc_b = (jnp.transpose(enc_b[0], (2, 3, 0, 1)),    # [nlk, d, L, l]
+                     jnp.transpose(enc_b[1], (2, 3, 0, 1)))
+            c2p = _bake_rows(c2p, enc_b, row0, nlk)
         c2_hi, c2_lo = _modsum_gathered(c2p[0], c2p[1], ring, "kdim")
         c2 = (c2_hi, c2_lo)
-        if not whole_k:
+        if not whole_k and not split_rows:
+            enc_ch = _encode_channel_major(params, sc_hi, sc_lo, ring)
             enc = (jnp.transpose(enc_ch[0], (2, 3, 0, 1)),     # [nl, d, L, l]
                    jnp.transpose(enc_ch[1], (2, 3, 0, 1)))
             c2 = modmat.poly_add(c2, enc, ring)
-        if n2 is None:
+        if n2 is None and not split_rows:
             e2 = _noise_ntt(k_e2, my_r * nl, nl, params.error_bound_2)
             c2 = modmat.poly_add(c2, e2, ring)
         return c1[0], c1[1], c2[0], c2[1]
