@@ -65,7 +65,11 @@ def main() -> None:
     )
     from pvw_tpu.crypto.encryption import _encrypt_kernel, _scalars_to_pairs
 
-    from pvw_tpu.utils.profiling import device_summary, span
+    from pvw_tpu.utils.profiling import (
+        device_summary, enable_compilation_cache, span,
+    )
+
+    enable_compilation_cache()
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({device_summary()})")
@@ -134,7 +138,9 @@ def main() -> None:
     out = None
     for i in range(1, iters + 1):
         out = run(i)
-    _ = np.asarray(out[0][:1])
+    # scalar-slice sync: fetching any larger slice ships MBs over the
+    # tunnel (~30 ms/MB) and pollutes the throughput measurement
+    _ = np.asarray(out[0][(0,) * out[0].ndim])
     dt = time.time() - t0
     enc_per_s = BATCH * iters / dt
     log(f"{iters} x batch-{BATCH} encryptions in {dt:.3f}s -> "

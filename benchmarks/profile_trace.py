@@ -56,47 +56,45 @@ def main():
                                jax.random.fold_in(key, i))
 
     out = run(0)
-    np.asarray(out[0][:1])  # warm compile + sync
+    np.asarray(out[0][(0,) * out[0].ndim])  # warm compile + scalar sync
     t0 = time.time()
     for i in range(1, 6):
         out = run(i)
-    np.asarray(out[0][:1])
+    np.asarray(out[0][(0,) * out[0].ndim])
     print(f"steady-state: {(time.time()-t0)/5*1000:.2f} ms/batch-{D}")
 
     os.system(f"rm -rf {TRACE_DIR}")
     with jax.profiler.trace(TRACE_DIR):
         for i in range(6, 9):
             out = run(i)
-        np.asarray(out[0][:1])
+        np.asarray(out[0][(0,) * out[0].ndim])
 
-    # ---- parse xplane for device op durations ----
-    paths = glob.glob(f"{TRACE_DIR}/**/*.xplane.pb", recursive=True)
+    # ---- parse the chrome trace for device op durations (the
+    # tensorboard xplane_pb2 import is broken in this image) ----
+    import collections
+    import gzip
+    import json as _json
+
+    paths = glob.glob(f"{TRACE_DIR}/**/*.trace.json.gz", recursive=True)
     if not paths:
-        print("no xplane produced; trace dir:", os.listdir(TRACE_DIR))
+        print("no trace produced; trace dir:", os.listdir(TRACE_DIR))
         return
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
-
-    xs = xplane_pb2.XSpace()
-    with open(max(paths, key=os.path.getmtime), "rb") as f:
-        xs.ParseFromString(f.read())
-    for plane in xs.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name:
-            continue
-        evmeta = {m.id: m.name for m in plane.event_metadata.values()}
-        totals = {}
-        for line in plane.lines:
-            if "XLA Ops" not in line.name and "Steps" not in line.name \
-                    and "XLA Modules" not in line.name:
-                continue
-            for ev in line.events:
-                nm = evmeta.get(ev.metadata_id, "?")
-                key2 = (line.name, nm)
-                tot, cnt = totals.get(key2, (0, 0))
-                totals[key2] = (tot + ev.duration_ps, cnt + 1)
-        print(f"== plane: {plane.name}")
-        for (ln, nm), (tot, cnt) in sorted(totals.items(),
-                                           key=lambda kv: -kv[1][0])[:40]:
-            print(f"  [{ln}] {nm[:90]:90s} {tot/1e9:9.3f} ms  x{cnt}")
+    with gzip.open(max(paths, key=os.path.getmtime)) as f:
+        data = _json.load(f)
+    ev = data["traceEvents"]
+    tids = {(e["pid"], e["tid"]): e["args"].get("name", "")
+            for e in ev if e.get("ph") == "M" and e.get("name") == "thread_name"}
+    tot = collections.Counter()
+    cnt = collections.Counter()
+    for e in ev:
+        if e.get("ph") == "X" and "dur" in e:
+            tn = tids.get((e["pid"], e["tid"]), "")
+            if "XLA" in tn:
+                k2 = (tn, e["name"][:70])
+                tot[k2] += e["dur"]
+                cnt[k2] += 1
+    for (tn, nm), us in tot.most_common(30):
+        print(f"[{tn:12s}] {nm:70s} {us/1000:9.2f} ms x{cnt[(tn, nm)]}")
 
 
 if __name__ == "__main__":

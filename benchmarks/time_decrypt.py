@@ -32,6 +32,9 @@ MODULI = (0xFFFFC4001, 0x1FFFFE0001)
 
 
 def main():
+    from pvw_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     b1, b2 = PvwParameters.suggest_error_bounds(N, K, ELL, MODULI, 0.5)
     params = (PvwParametersBuilder().set_parties(N).set_dimension(K)
               .set_l(ELL).set_moduli(MODULI).set_secret_variance(0.5)

@@ -28,6 +28,12 @@ MODULI = (0xFFFFC4001, 0x1FFFFE0001)
 
 
 def main():
+    import os
+
+    if not os.environ.get("PVW_NO_CACHE"):
+        from pvw_tpu.utils.profiling import enable_compilation_cache
+
+        enable_compilation_cache()
     b1, b2 = PvwParameters.suggest_error_bounds(N, K, ELL, MODULI, 0.5)
     params = (PvwParametersBuilder().set_parties(N).set_dimension(K)
               .set_l(ELL).set_moduli(MODULI).set_secret_variance(0.5)
@@ -64,7 +70,7 @@ def main():
         t0 = time.time()
         for i in range(1, 11):
             out = run(i)
-        np.asarray(out[0][:1])
+        np.asarray(out[0][(0,) * out[0].ndim])
         dt = (time.time() - t0) / 10
         print(f"trial {trial}: {dt * 1000:.2f} ms/batch-{D} "
               f"({D / dt:.0f} enc/s)", flush=True)

@@ -60,6 +60,31 @@ def _noisy_message_kernel(params: PvwParameters, sk_hi, sk_lo,
     return jnp.stack([zh, zl])
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _noisy_message_kernel_ch(params: PvwParameters, sk_hi, sk_lo,
+                             c1ch_hi, c1ch_lo, c2ch_hi, c2ch_lo):
+    """Channel-major twin of :func:`_noisy_message_kernel` — consumes the
+    layout :func:`pvw_tpu.crypto.encryption._encrypt_kernel` natively
+    emits, skipping the big [*, L, l] transposes on both ciphertext
+    operands.
+
+    sk_*: [k, L, l] (NTT); c1ch_*: [L, l, k, d]; c2ch_*: [L, l, d]
+    -> STACKED residues uint32 [2, d, L, l] (hi, lo) in PowerBasis.
+    """
+    ring = params.ring
+    skc = (jnp.transpose(sk_hi, (1, 2, 0))[:, :, None, :],   # [L, l, 1, k]
+           jnp.transpose(sk_lo, (1, 2, 0))[:, :, None, :])
+    ph, pl = modmat.matmul_channels(skc, (c1ch_hi, c1ch_lo), ring)
+    qh = jnp.asarray(ring.q_hi)[:, None, None]
+    ql = jnp.asarray(ring.q_lo)[:, None, None]
+    zh, zl = u64op.submod(ph[:, :, 0], pl[:, :, 0], c2ch_hi, c2ch_lo,
+                          qh, ql)                            # [L, l, d]
+    zh = jnp.transpose(zh, (2, 0, 1))                        # [d, L, l]
+    zl = jnp.transpose(zl, (2, 0, 1))
+    oh, ol = ntt_ops.ntt_inverse((zh, zl), ring)
+    return jnp.stack([oh, ol])
+
+
 # --------------------------------------------------------------------------
 # host decode
 # --------------------------------------------------------------------------
@@ -184,6 +209,15 @@ def decrypt_party_shares(all_ciphertexts, secret_key: SecretKey,
             raise InvalidParameters(
                 f"Party index {party_index} exceeds maximum {params.n - 1}"
             )
+        if ct.c1.is_channel_major and ct.c2.is_channel_major:
+            # native encrypt_batch output: consume channel-major directly
+            sk = secret_key.to_polynomials()
+            z = np.asarray(_noisy_message_kernel_ch(
+                params, sk.hi, sk.lo, *ct.c1.channel_pair(),
+                *ct.c2[party_index].channel_pair(),
+            ))
+            residues = u64op.join_u64_np(z[0], z[1])
+            return _decode_batch(residues, params)
         c1_hi, c1_lo = ct.c1.hi, ct.c1.lo            # [k, d, L, l]
         c2_hi, c2_lo = ct.c2.hi[party_index], ct.c2.lo[party_index]  # [d, L, l]
     else:

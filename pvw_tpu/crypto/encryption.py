@@ -115,15 +115,16 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
     ``encode32`` (static): all scalars are < 2^32 — host-checked by
     :func:`encrypt_batch` — so the in-kernel encode uses one 32-bit Shoup
     multiply and skips the i64-wrap correction.
-    Returns c1 [k, d, L, l], c2 [n, d, L, l] pairs.
+    Returns CHANNEL-MAJOR pairs c1 [L, l, k, d], c2 [L, l, n, d] — the
+    layout the kernels emit; :func:`encrypt_batch` wraps them in lazy
+    channel-major Polys so the [*, L, l] transpose (the third-largest
+    device cost of a batch) is paid only if a canonical consumer asks.
     """
     ring = params.ring
     k, n, l = params.k, params.n, params.l
     L = ring.num_limbs
     d = sc_hi.shape[0]
     k_r, k_e1, k_e2 = jax.random.split(key, 3)
-
-    from_channels = lambda x: jnp.transpose(x, (2, 3, 0, 1))
 
     # r: row-keyed CBD ("stream v2": row j from fold_in(k_r, j), so mesh
     # shards sample only their k-block; see sampling/uniform.py) ->
@@ -174,7 +175,6 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
     if n1 is None:
         e1h, e1l = _noise_residues_ch(k_e1, k, params.error_bound_1)
         c1h, c1l = u64op.addmod(c1h, c1l, e1h, e1l, qh4, ql4)
-    c1 = (from_channels(c1h), from_channels(c1l))                # [k, d, L, l]
 
     # encode: m·g in NTT domain, computed INSIDE the matmul kernel from the
     # scalar pair tile + per-channel constants (g, Shoup(g), and the
@@ -197,8 +197,7 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
     if n2 is None:
         e2h, e2l = _noise_residues_ch(k_e2, n, params.error_bound_2)
         c2h, c2l = u64op.addmod(c2h, c2l, e2h, e2l, qh4, ql4)
-    c2 = (from_channels(c2h), from_channels(c2l))                # [n, d, L, l]
-    return c1[0], c1[1], c2[0], c2[1]
+    return c1h, c1l, c2h, c2l                         # channel-major
 
 
 def _encode_channel_major(params, sc_hi, sc_lo, ring):
@@ -263,17 +262,20 @@ def encrypt_batch(all_scalars, global_pk: GlobalPublicKey,
     c1h, c1l, c2h, c2l = _encrypt_kernel(
         params, a_dig, b_dig, sc_hi, sc_lo, key, encode32,
     )
-    c1 = Poly(c1h, c1l, Representation.Ntt, params.ring)
-    c2 = Poly(c2h, c2l, Representation.Ntt, params.ring)
+    c1 = Poly.from_channel_major(c1h, c1l, Representation.Ntt, params.ring)
+    c2 = Poly.from_channel_major(c2h, c2l, Representation.Ntt, params.ring)
     return PvwCiphertext(c1, c2, params)
 
 
 def _squeeze_batch(ct: PvwCiphertext) -> PvwCiphertext:
-    return PvwCiphertext(
-        Poly(ct.c1.hi[:, 0], ct.c1.lo[:, 0], ct.c1.rep, ct.c1.ring),
-        Poly(ct.c2.hi[:, 0], ct.c2.lo[:, 0], ct.c2.rep, ct.c2.ring),
-        ct.params,
-    )
+    def squeeze(p: Poly) -> Poly:
+        if p.is_channel_major:
+            ch, cl = p.channel_pair()             # [L, l, rows, 1]
+            return Poly.from_channel_major(ch[..., 0], cl[..., 0],
+                                           p.rep, p.ring)
+        return Poly(p.hi[:, 0], p.lo[:, 0], p.rep, p.ring)
+
+    return PvwCiphertext(squeeze(ct.c1), squeeze(ct.c2), ct.params)
 
 
 def encrypt(scalars, global_pk: GlobalPublicKey, key: jax.Array) -> PvwCiphertext:

@@ -13,7 +13,6 @@ every ring operation maps onto the batched kernels in ``pvw_tpu.ops``.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from enum import Enum
 
 import numpy as np
@@ -54,18 +53,76 @@ class Representation(str, Enum):
 
 
 @jax.tree_util.register_pytree_node_class
-@dataclass
 class Poly:
     """A batch of polynomials in R_q.
 
     ``hi``/``lo``: uint32 arrays of shape ``batch + (L, l)``.
     ``rep`` and ``ring`` are static (aux data under jax transformations).
+
+    Storage is dual-layout: the canonical batch-major pair, OR a
+    channel-major pair ``[L, l, *batch]`` (:meth:`from_channel_major`) —
+    the layout the TPU kernels natively produce and consume. A
+    channel-major Poly materializes (and caches) the canonical layout
+    lazily on first ``.hi``/``.lo`` access, so pipelines that stay on
+    device (encrypt -> batched decrypt) never pay the [*, L, l]
+    transpose, while every canonical consumer (serialization, indexing,
+    host lifts) sees the usual layout transparently.
     """
 
-    hi: jax.Array
-    lo: jax.Array
-    rep: Representation
-    ring: RingPlan
+    def __init__(self, hi, lo, rep: Representation, ring: RingPlan) -> None:
+        self._hi = hi
+        self._lo = lo
+        self._chh = None
+        self._chl = None
+        self.rep = rep
+        self.ring = ring
+
+    @classmethod
+    def from_channel_major(cls, ch_hi, ch_lo, rep: Representation,
+                           ring: RingPlan) -> "Poly":
+        """Wrap channel-major arrays ``[L, l, *batch]`` without
+        transposing; canonical layout materializes lazily."""
+        p = cls.__new__(cls)
+        p._hi = None
+        p._lo = None
+        p._chh = ch_hi
+        p._chl = ch_lo
+        p.rep = rep
+        p.ring = ring
+        return p
+
+    def _canonicalize(self) -> None:
+        if self._hi is None:
+            nb = self._chh.ndim - 2
+            perm = tuple(range(2, 2 + nb)) + (0, 1)
+            self._hi = jnp.transpose(self._chh, perm)
+            self._lo = jnp.transpose(self._chl, perm)
+
+    @property
+    def hi(self):
+        self._canonicalize()
+        return self._hi
+
+    @property
+    def lo(self):
+        self._canonicalize()
+        return self._lo
+
+    @property
+    def is_channel_major(self) -> bool:
+        """True when the native storage is channel-major (canonical layout
+        not yet materialized)."""
+        return self._hi is None
+
+    def channel_pair(self):
+        """(hi, lo) in channel-major layout ``[L, l, *batch]`` — free when
+        constructed via :meth:`from_channel_major`, one transpose
+        otherwise."""
+        if self._chh is not None:
+            return self._chh, self._chl
+        nb = self._hi.ndim - 2
+        perm = (nb, nb + 1) + tuple(range(nb))
+        return (jnp.transpose(self._hi, perm), jnp.transpose(self._lo, perm))
 
     # -- pytree protocol ------------------------------------------------
     def tree_flatten(self):
@@ -138,7 +195,9 @@ class Poly:
     # -- accessors ------------------------------------------------------
     @property
     def batch_shape(self) -> tuple[int, ...]:
-        return tuple(self.hi.shape[:-2])
+        if self._hi is None:
+            return tuple(self._chh.shape[2:])
+        return tuple(self._hi.shape[:-2])
 
     @property
     def pair(self):
@@ -233,6 +292,12 @@ class Poly:
     # -- batch indexing -------------------------------------------------
     def __getitem__(self, idx) -> "Poly":
         """Index into the leading batch dims."""
+        if self._hi is None and isinstance(idx, (int, np.integer)):
+            # channel-major fast path: first batch dim is axis 2
+            return Poly.from_channel_major(
+                self._chh[:, :, idx], self._chl[:, :, idx],
+                self.rep, self.ring,
+            )
         return Poly(self.hi[idx], self.lo[idx], self.rep, self.ring)
 
     def __repr__(self) -> str:

@@ -98,3 +98,24 @@ def device_summary() -> str:
     for d in devs:
         kinds[d.device_kind] = kinds.get(d.device_kind, 0) + 1
     return ", ".join(f"{v}x {k}" for k, v in kinds.items())
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Turn on JAX's persistent compilation cache for bench harnesses.
+
+    Over the axon tunnel a cold compile of the fused encryption program
+    costs 50-700 s (high variance); the on-disk cache roughly halves the
+    cold start of a fresh process (the remainder is device program load,
+    not compilation). Call BEFORE the first traced computation. Tests do
+    not use this (they pin the CPU backend, where compiles are fast).
+    """
+    import jax
+
+    path = path or os.environ.get(
+        "PVW_TPU_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"),
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -229,3 +229,65 @@ class TestHigherVariance:
         ct = encrypt(scalars, gpk, jax.random.fold_in(key, 55))
         for i, party in enumerate(parties):
             assert decrypt_party_value(ct, party.secret_key, i) == scalars[i]
+
+
+class TestChannelMajorPoly:
+    """The lazy dual-layout Poly: encrypt_batch returns channel-major
+    storage; canonical access, indexing, and the batched decrypt fast path
+    must all agree with the canonical layout bit for bit."""
+
+    def test_lazy_canonicalization_and_ops(self):
+        import jax.numpy as jnp
+
+        from pvw_tpu.poly import Poly, Representation
+
+        p, gpk, parties = setup_system()
+        ring = p.ring
+        rng = np.random.default_rng(3)
+        qs = np.array(ring.moduli, np.uint64).reshape(1, 1, -1, 1)
+        res = (rng.integers(0, 1 << 36, (3, 4, ring.num_limbs, ring.degree),
+                            np.uint64) % qs)
+        canon = Poly.from_residues_np(res, ring, Representation.Ntt)
+        ch = Poly.from_channel_major(
+            jnp.transpose(canon.hi, (2, 3, 0, 1)),
+            jnp.transpose(canon.lo, (2, 3, 0, 1)),
+            Representation.Ntt, ring,
+        )
+        assert ch.is_channel_major
+        assert ch.batch_shape == (3, 4)
+        # channel int-index fast path stays channel-major and matches
+        sliced = ch[1]
+        assert sliced.is_channel_major
+        np.testing.assert_array_equal(
+            sliced.residues_np(), canon[1].residues_np()
+        )
+        # canonical materialization matches and ops agree
+        np.testing.assert_array_equal(ch.residues_np(), canon.residues_np())
+        assert not ch.is_channel_major  # materialized by access
+        s1 = (ch + canon).residues_np()
+        s2 = (canon + canon).residues_np()
+        np.testing.assert_array_equal(s1, s2)
+
+    def test_batched_decrypt_channel_fast_path(self):
+        p, gpk, parties = setup_system()
+        vectors = np.array(
+            [[d * 10 + r + 1 for r in range(p.n)] for d in range(p.n)],
+            np.uint64,
+        )
+        ct = encrypt_all_party_shares_batched(vectors, gpk, jax.random.key(9))
+        assert ct.c1.is_channel_major and ct.c2.is_channel_major
+        shares = decrypt_party_shares(ct, parties[1].secret_key, 1)
+        assert shares == [int(vectors[d][1]) for d in range(p.n)]
+        # the canonical kernel on the same ciphertext must agree exactly
+        from pvw_tpu.crypto.decryption import (
+            _decode_batch, _noisy_message_kernel,
+        )
+        from pvw_tpu.ops import u64 as u64op
+
+        sk = parties[1].secret_key.to_polynomials()
+        z = np.asarray(_noisy_message_kernel(
+            p, sk.hi, sk.lo, ct.c1.hi, ct.c1.lo,
+            ct.c2.hi[1], ct.c2.lo[1],
+        ))
+        shares2 = _decode_batch(u64op.join_u64_np(z[0], z[1]), p)
+        assert shares2 == shares
