@@ -100,17 +100,17 @@ def main() -> None:
 
     t0 = time.time()
     # Batched keygen for all 4096 parties in one MXU contraction: sample
-    # every party's CBD coefficients in ONE device call, then one matmul.
-    from pvw_tpu.keys.secret_key import SecretKey
+    # every party's CBD coefficients in ONE device call and keep them
+    # device-resident (fetching the 33 MB coefficient tensor to host cost
+    # up to minutes over the tunnel).
     from pvw_tpu.sampling.cbd import sample_vec_cbd
 
-    all_coeffs = np.asarray(sample_vec_cbd(
+    coeffs = sample_vec_cbd(
         jax.random.fold_in(key, 10_000),
         (N_RECEIVERS, K_DIM, params.l), params.secret_variance,
-    ))
-    sks = [SecretKey(params, all_coeffs[i]) for i in range(N_RECEIVERS)]
+    )
     gpk = GlobalPublicKey(crs)
-    gpk.generate_all_keys(sks, jax.random.fold_in(key, 1))
+    gpk.generate_all_keys_device(coeffs, jax.random.fold_in(key, 1))
     log(f"keygen for {N_RECEIVERS} parties in {time.time() - t0:.2f}s")
 
     rng = np.random.default_rng(0)

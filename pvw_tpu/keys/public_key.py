@@ -305,49 +305,85 @@ class GlobalPublicKey:
         self._batch_generate(secret_keys, list(range(len(secret_keys))), key,
                              record_errors=False)
 
+    def generate_all_keys_device(self, coeffs, key: jax.Array,
+                                 coeff_bound: int | None = None) -> None:
+        """TPU-native batch keygen from DEVICE-RESIDENT secret coefficients
+        (int32 [p, k, l], p <= n; indices 0..p-1): same values as
+        :meth:`generate_all_keys` on SecretKeys built from the same
+        coefficients, without the device->host->device round trip of the
+        coefficient tensor (a 33 MB fetch costs up to minutes over a
+        remote-device link). ``coeff_bound``: static max |coefficient|;
+        defaults to the CBD bound of ``params.secret_variance``."""
+        from ..sampling.cbd import cbd_bound
+
+        if coeffs.shape[0] > self.params.n:
+            raise InvalidParameters(
+                f"Too many secret keys: {coeffs.shape[0]} > {self.params.n}"
+            )
+        if coeff_bound is None:
+            coeff_bound = cbd_bound(self.params.secret_variance)
+        for b in (127, 32639):
+            if coeff_bound <= b:
+                coeff_bound = b
+                break
+        self._batch_generate_device(
+            coeffs, list(range(coeffs.shape[0])), key, coeff_bound
+        )
+
     def _batch_generate(self, secret_keys: list[SecretKey], indices: list[int],
                         key: jax.Array, record_errors: bool) -> None:
         del record_errors  # batch paths never record (matches reference)
         params = self.params
         coeffs = np.stack([sk.secret_coeffs for sk in secret_keys])
         if params.error_bound_1 < min(params.ring.moduli):
-            chunk = _keygen_chunk_size(params)
-            p_total = coeffs.shape[0]
-            cb = _quantized_coeff_bound(coeffs)
-            if p_total <= chunk:
-                bh, bl = _batch_keygen_kernel(
-                    params, self.crs.matrix.hi, self.crs.matrix.lo,
-                    jnp.asarray(coeffs), key, cb, 0,
-                )
-            else:
-                # chunk over parties; stream v2 keeps values identical
-                parts_h, parts_l = [], []
-                for start in range(0, p_total, chunk):
-                    block = jnp.asarray(coeffs[start : start + chunk])
-                    h, lo_ = _batch_keygen_kernel(
-                        params, self.crs.matrix.hi, self.crs.matrix.lo,
-                        block, key, cb, start,
-                    )
-                    parts_h.append(h)
-                    parts_l.append(lo_)
-                bh = jnp.concatenate(parts_h, axis=0)
-                bl = jnp.concatenate(parts_l, axis=0)
+            self._batch_generate_device(
+                jnp.asarray(coeffs), indices, key,
+                _quantized_coeff_bound(coeffs),
+            )
+            return
+        # huge-bound host sampling path (device kernel requires
+        # bound < min modulus)
+        sk_polys = Poly.from_coefficients(coeffs, params.ring).to_ntt()
+        hi, lo = modmat.poly_matmul(sk_polys.pair, self.crs.matrix.pair,
+                                    params.ring)
+        errors = params.sample_error_1(key, batch=(len(secret_keys),
+                                                   params.k))
+        b = Poly(hi, lo, Representation.Ntt, params.ring) + errors
+        self._place_rows(b.hi, b.lo, indices)
+
+    def _batch_generate_device(self, coeffs, indices: list[int],
+                               key: jax.Array, cb: int) -> None:
+        params = self.params
+        chunk = _keygen_chunk_size(params)
+        p_total = coeffs.shape[0]
+        if p_total <= chunk:
+            bh, bl = _batch_keygen_kernel(
+                params, self.crs.matrix.hi, self.crs.matrix.lo,
+                jnp.asarray(coeffs), key, cb, 0,
+            )
         else:
-            # huge-bound host sampling path (device kernel requires
-            # bound < min modulus)
-            sk_polys = Poly.from_coefficients(coeffs, params.ring).to_ntt()
-            hi, lo = modmat.poly_matmul(sk_polys.pair, self.crs.matrix.pair,
-                                        params.ring)
-            errors = params.sample_error_1(key, batch=(len(secret_keys),
-                                                       params.k))
-            b = Poly(hi, lo, Representation.Ntt, params.ring) + errors
-            bh, bl = b.hi, b.lo
+            # chunk over parties; stream v2 keeps values identical
+            parts_h, parts_l = [], []
+            for start in range(0, p_total, chunk):
+                block = jnp.asarray(coeffs[start : start + chunk])
+                h, lo_ = _batch_keygen_kernel(
+                    params, self.crs.matrix.hi, self.crs.matrix.lo,
+                    block, key, cb, start,
+                )
+                parts_h.append(h)
+                parts_l.append(lo_)
+            bh = jnp.concatenate(parts_h, axis=0)
+            bl = jnp.concatenate(parts_l, axis=0)
+        self._place_rows(bh, bl, indices)
+
+    def _place_rows(self, bh, bl, indices: list[int]) -> None:
         # contiguous in-range index blocks take a slice-update (or a
         # straight replacement when the batch covers rows 0..n-1) — XLA
         # scatter on the [n, k, L, l] matrix measured ~2.8 s at n=4096 vs
         # ~ms here. Out-of-range indices fall back to scatter, which drops
         # them (the pre-optimization behavior; dynamic_update_slice would
         # clamp and misplace rows instead).
+        params = self.params
         contiguous = indices == list(range(indices[0], indices[0] + len(indices)))
         in_range = indices and 0 <= indices[0] and indices[-1] < params.n
         if contiguous and in_range and indices[0] == 0 \

@@ -311,7 +311,13 @@ def _pick_tiles(m: int, n: int, kd: int, C: int, extra_mn: int = 0):
     """Largest (tile_m, tile_n) whose double-buffered blocks + kernel
     temporaries fit the scoped-VMEM ceiling. ``extra_mn``: bytes per
     (tile_m x tile_n) element of additional blocks (noise digits, post-add
-    residues). None when nothing fits."""
+    residues). None when nothing fits. PVW_TILE_M/PVW_TILE_N override for
+    perf experiments (no VMEM check — Mosaic rejects oversize)."""
+    import os
+
+    fm, fn = os.environ.get("PVW_TILE_M"), os.environ.get("PVW_TILE_N")
+    if fm and fn:
+        return int(fm), int(fn)
     for tile_n in (256, 128):
         for tile_m in (512, 256, 128, 64):
             if _tile_cost(tile_m, tile_n, kd, C, extra_mn) <= _VMEM_LIMIT:

@@ -302,3 +302,31 @@ class TestMoreReferenceParity:
         row2 = sk.get_polynomial(2)
         batch = sk.to_polynomials()
         assert np.array_equal(row2.residues_np(), batch.residues_np()[2])
+
+
+class TestDeviceKeygen:
+    def test_generate_all_keys_device_matches_host_path(self):
+        """The device-resident batch keygen must produce the identical key
+        matrix as generate_all_keys on SecretKeys built from the same
+        coefficients (same stream, same kernel, no host round trip)."""
+        import jax.numpy as jnp
+
+        from pvw_tpu.sampling.cbd import sample_vec_cbd
+
+        params = make_params(n=6, k=16)
+        key = jax.random.key(42)
+        crs = PvwCrs.new(params, jax.random.fold_in(key, 0))
+        coeffs = sample_vec_cbd(
+            jax.random.fold_in(key, 7), (6, params.k, params.l),
+            params.secret_variance,
+        )
+        host = np.asarray(coeffs)
+        sks = [SecretKey(params, host[i]) for i in range(6)]
+        g1 = GlobalPublicKey(crs)
+        g1.generate_all_keys(sks, jax.random.fold_in(key, 1))
+        g2 = GlobalPublicKey(crs)
+        g2.generate_all_keys_device(coeffs, jax.random.fold_in(key, 1))
+        np.testing.assert_array_equal(
+            g1.matrix.residues_np(), g2.matrix.residues_np()
+        )
+        assert g2.is_full()
