@@ -127,19 +127,27 @@ def main() -> None:
         )
 
     t0 = time.time()
-    jax.block_until_ready(run(0))
+    # REAL sync: on the axon tunnel jax.block_until_ready can return
+    # before device completion, so the timed loop would otherwise pile on
+    # top of an undrained queue (CRS + keygen + warmup still executing)
+    # and collapse 10-600x. A scalar fetch is the only reliable barrier.
+    out0 = run(0)
+    _ = np.asarray(out0[0][(0,) * out0[0].ndim])
     log(f"warmup (compile + run) in {time.time() - t0:.2f}s")
 
-    # Throughput timing: pipeline the dispatches and synchronize once —
-    # per-call host sync costs ~25 ms over the axon tunnel and is not part
-    # of steady-state throughput.
+    # Throughput timing: pipeline all dispatches, one scalar-slice sync at
+    # the end. Mid-loop fetches expose a ~25-30 ms round trip per sync
+    # (the tunnel serializes fetches behind the queue), costing ~60% of
+    # throughput; a drained pre-loop queue (the warmup fetch above) is
+    # what makes the deep pipeline safe — the 10-600x collapses seen
+    # earlier were the warmup's jax.block_until_ready not actually
+    # draining the CRS/keygen work, not queue depth. The scalar slice
+    # matters: larger slices ship MBs through the tunnel at ~30 ms/MB.
     iters = 20
     t0 = time.time()
     out = None
     for i in range(1, iters + 1):
         out = run(i)
-    # scalar-slice sync: fetching any larger slice ships MBs over the
-    # tunnel (~30 ms/MB) and pollutes the throughput measurement
     _ = np.asarray(out[0][(0,) * out[0].ndim])
     dt = time.time() - t0
     enc_per_s = BATCH * iters / dt
