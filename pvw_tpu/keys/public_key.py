@@ -99,7 +99,13 @@ def _keygen_chunk_size(params: PvwParameters) -> int:
     ring = params.ring
     S = ring.num_limbs * ring.degree
     per_party = S * params.k * (5 * ring.num_digits + 10)
-    return max(8, min(8192, modmat.COLS_BYTES_BUDGET // max(per_party, 1)))
+    chunk = max(8, min(8192, modmat.COLS_BYTES_BUDGET // max(per_party, 1)))
+    # round down to a tile-friendly multiple so the fused Pallas kernel
+    # gets legal (>= 8, divisible) m-tiles instead of falling back to XLA
+    # on awkward chunk sizes (e.g. 308)
+    if chunk > 256:
+        chunk -= chunk % 256
+    return chunk
 
 
 class Party:

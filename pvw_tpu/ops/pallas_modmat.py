@@ -515,6 +515,11 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
     tile_n = min(tile_n, n)
     while n % tile_n:
         tile_n //= 2
+    # Mosaic requires the last-two block dims divisible by (8, 128) or
+    # equal to the array dims; awkward m/n (e.g. a 308-party keygen
+    # chunk) can floor the tile into an illegal size — use XLA instead.
+    if (tile_m % 8 and tile_m != m) or (tile_n % 128 and tile_n != n):
+        return _xla()
     ld = (lhs_dig.reshape(L * S, m, kd) if lhs_dig is not None
           else modmat.digits(lh, ll, nd).reshape(L * S, m, kd))
     r2 = _build_rhs_scaled(rhs_scaled.reshape(L * S, k, n, nd, nd))
@@ -614,6 +619,12 @@ def matmul_channels_pallas(lhs, rhs, ring: "RingPlan", tile_m: int = 256,
     tile_n = min(tile_n, n)
     while n % tile_n:
         tile_n //= 2
+    if not interpret and ((tile_m % 8 and tile_m != m)
+                          or (tile_n % 128 and tile_n != n)):
+        # Mosaic-illegal degenerate tile (see matmul_fold_scaled)
+        from . import modmat as _mm
+
+        return _mm.matmul_channels_banded(lhs, rhs, ring)
     nd = ring.num_digits
     ld = digits(lh, ll, nd).reshape(L * S, m, k * nd)
     rd = digits(rh, rl, nd).reshape(L * S, k, n, nd)
