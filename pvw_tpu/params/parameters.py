@@ -330,14 +330,47 @@ class PvwParameters:
             d["secret_variance"], int(d["error_bound_1"]), int(d["error_bound_2"]),
         )
 
+    # -- limb-restricted views (RNS parallelism) --------------------------
+
+    def restrict_limbs(self, limb_indices) -> "PvwParameters":
+        """A params view over a SUBSET of the RNS limbs whose gadget and Δ
+        still derive from the FULL q. Every per-limb quantity of the
+        scheme (c1/c2 residues, key rows, NTTs) depends only on its own
+        limb, and the coefficient-space randomness streams are
+        limb-independent — so running the encryption kernel once per limb
+        shard and concatenating the limb axes is bit-identical to the
+        full-ring run (see :mod:`pvw_tpu.parallel.limb_parallel`).
+
+        Restricted params are ephemeral execution views: do not serialize
+        them (their to_dict cannot represent the full-q provenance)."""
+        idx = tuple(int(i) for i in limb_indices)
+        if not idx or any(not 0 <= i < self.ring.num_limbs for i in idx):
+            raise InvalidParameters(f"invalid limb indices {idx}")
+        sub = PvwParameters.__new__(PvwParameters)
+        sub.n, sub.t, sub.k, sub.l = self.n, self.t, self.k, self.l
+        sub.secret_variance = self.secret_variance
+        sub.error_bound_1 = self.error_bound_1
+        sub.error_bound_2 = self.error_bound_2
+        sub.ring = get_ring(tuple(self.ring.moduli[i] for i in idx), self.l)
+        sub._q_total = self._q_total      # FULL q: Δ/gadget/correctness
+        sub._delta = self._delta
+        sub._delta_pow = self._delta_pow
+        sub._build_gadget_tables()        # full-Δ gadget, sub-limb residues
+        return sub
+
     # -- identity ---------------------------------------------------------
 
     def __eq__(self, other: object) -> bool:
-        return isinstance(other, PvwParameters) and self.to_dict() == other.to_dict()
+        return (isinstance(other, PvwParameters)
+                and self.to_dict() == other.to_dict()
+                and self._q_total == other._q_total)
 
     def __hash__(self) -> int:
+        # _q_total distinguishes limb-restricted views (whose ring holds a
+        # moduli subset but whose gadget/Δ come from the full product)
         return hash((self.n, self.k, self.l, self.ring.moduli,
-                     self.secret_variance, self.error_bound_1, self.error_bound_2))
+                     self.secret_variance, self.error_bound_1,
+                     self.error_bound_2, self._q_total))
 
     def __repr__(self) -> str:
         return (

@@ -77,3 +77,87 @@ def test_mesh_divisibility_validation():
 def test_make_mesh_validation():
     with pytest.raises(InvalidParameters, match="not divisible"):
         make_mesh(jax.devices(), kdim=3)
+
+
+class TestLimbParallel:
+    """RNS limb-parallel execution: per-shard limb-restricted programs
+    must concatenate to the bit-identical single-device result, with no
+    collectives involved."""
+
+    def _system4(self):
+        # 4-limb chain (the reference's 55-bit chain) so partitions of
+        # 1/2/4 shards are interesting
+        moduli = (0x800000022A0001, 0x800000021A0001,
+                  0x80000002120001, 0x80000001F60001)
+        b1, b2 = PvwParameters.suggest_error_bounds(6, 8, 8, moduli, 0.5)
+        p = (PvwParametersBuilder().set_parties(6).set_dimension(8).set_l(8)
+             .set_moduli(moduli).set_secret_variance(0.5)
+             .set_error_bounds_u32(b1, b2).build())
+        key = jax.random.key(3)
+        crs = PvwCrs.new(p, jax.random.fold_in(key, 0))
+        parties = [Party.new(i, p, jax.random.fold_in(key, 100 + i))
+                   for i in range(p.n)]
+        gpk = GlobalPublicKey(crs)
+        gpk.generate_all_party_keys(parties, jax.random.fold_in(key, 1))
+        return p, gpk, parties
+
+    def test_limb_partition(self):
+        from pvw_tpu.parallel import limb_partition
+
+        assert limb_partition(4, 2) == [(0, 1), (2, 3)]
+        assert limb_partition(5, 2) == [(0, 1, 2), (3, 4)]
+        assert limb_partition(3, 3) == [(0,), (1,), (2,)]
+        with pytest.raises(InvalidParameters):
+            limb_partition(2, 3)
+
+    def test_restrict_limbs_gadget_uses_full_q(self):
+        p, _, _ = self._system4()
+        sub = p.ring  # full
+        r1 = p.restrict_limbs((1, 2))
+        # Δ and the correctness condition come from the FULL q
+        assert r1.delta() == p.delta()
+        assert r1.q_total() == p.q_total()
+        assert r1.ring.moduli == (p.ring.moduli[1], p.ring.moduli[2])
+        # gadget residues = full-gadget coefficients mod the sub-limbs
+        np.testing.assert_array_equal(r1.gadget_ntt, p.gadget_ntt[1:3])
+        # distinct jit identity vs a natively-built params over the subset
+        native = PvwParameters.new(p.n, p.k, p.l, r1.ring.moduli,
+                                   p.secret_variance, p.error_bound_1,
+                                   p.error_bound_2)
+        assert hash(native) != hash(r1) or native != r1
+
+    @pytest.mark.parametrize("shards", [1, 2, 4])
+    def test_limb_parallel_bit_identical(self, shards):
+        from pvw_tpu.parallel import encrypt_batch_limb_parallel
+
+        p, gpk, _ = self._system4()
+        scalars = np.arange(3 * p.n, dtype=np.uint64).reshape(3, p.n)
+        key = jax.random.key(11)
+        ct_ref = encrypt_batch(scalars, gpk, key)
+        ct_lp = encrypt_batch_limb_parallel(
+            scalars, gpk, key, jax.devices()[:shards]
+        ).gather()
+        np.testing.assert_array_equal(
+            ct_ref.c1.residues_np(), ct_lp.c1.residues_np()
+        )
+        np.testing.assert_array_equal(
+            ct_ref.c2.residues_np(), ct_lp.c2.residues_np()
+        )
+
+    def test_limb_parallel_decrypt_roundtrip(self):
+        from pvw_tpu.parallel import (
+            decrypt_party_shares_limb_parallel, encrypt_batch_limb_parallel,
+        )
+
+        p, gpk, parties = self._system4()
+        vectors = np.array(
+            [[d * 10 + r + 1 for r in range(p.n)] for d in range(p.n)],
+            np.uint64,
+        )
+        key = jax.random.key(21)
+        ct = encrypt_batch_limb_parallel(vectors, gpk, key, jax.devices()[:4])
+        for pi in (0, 3):
+            shares = decrypt_party_shares_limb_parallel(
+                ct, parties[pi].secret_key, pi
+            )
+            assert shares == [int(vectors[d][pi]) for d in range(p.n)]
