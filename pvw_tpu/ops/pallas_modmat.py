@@ -318,10 +318,14 @@ def _pick_tiles(m: int, n: int, kd: int, C: int, extra_mn: int = 0):
     fm, fn = os.environ.get("PVW_TILE_M"), os.environ.get("PVW_TILE_N")
     if fm and fn:
         return int(fm), int(fn)
-    for tile_n in (256, 128):
-        for tile_m in (512, 256, 128, 64):
-            if _tile_cost(tile_m, tile_n, kd, C, extra_mn) <= _VMEM_LIMIT:
-                return tile_m, tile_n
+    # Preference order measured on v5e (hardware sweep, see BASELINE.md):
+    # the tall-skinny (512, 128) tile beats (256, 256) at every tested
+    # shape (+5% headline, +13% at the 4-limb config — taller m-tiles
+    # amortize the banded rhs block better per output element).
+    for tile_m, tile_n in ((512, 128), (256, 256), (256, 128), (128, 256),
+                           (128, 128), (64, 256), (64, 128)):
+        if _tile_cost(tile_m, tile_n, kd, C, extra_mn) <= _VMEM_LIMIT:
+            return tile_m, tile_n
     return None
 
 
