@@ -486,3 +486,67 @@ class TestFromSignedCoeffsRange:
         for li, q in enumerate(ring.moduli):
             for ci in range(8):
                 assert int(got[0, li, ci]) == int(coeffs[0, ci]) % q, (li, ci)
+
+
+class TestSmallModuli:
+    """Moduli below 2^32 cannot use the word fold (W_0 < q precondition);
+    the kernels must take the grouped-fold path and stay exact."""
+
+    SMALL = (0x100021, 0x100091)  # ~20-bit NTT-friendly primes (l=8)
+
+    def test_fold_words_disabled(self):
+        ring = RingPlan(self.SMALL, 8)
+        assert not ring.fold_words_ok
+
+    def test_matmul_exact_small_moduli(self):
+        ring = RingPlan(self.SMALL, 8)
+        L, S, m, k, n = ring.num_limbs, 2, 4, 5, 3
+        qs = np.array(self.SMALL, np.uint64).reshape(L, 1, 1, 1)
+        a = (rand_u64((L, S, m, k)) % qs).astype(np.uint64)
+        b = (rand_u64((L, S, k, n)) % qs).astype(np.uint64)
+        got = ints(*modmat.matmul_channels(pairs(a), pairs(b), ring))
+        for i, q in enumerate(self.SMALL):
+            for s in range(S):
+                want = (a[i, s].astype(object) @ b[i, s].astype(object)) % q
+                np.testing.assert_array_equal(got[i, s].astype(object), want)
+        # scaled form agrees too
+        got2 = ints(*modmat.matmul_channels_scaled(pairs(a), pairs(b), ring))
+        np.testing.assert_array_equal(got2, got)
+
+    def test_noise_kernel_interpret_small_moduli(self):
+        """The fused kernel (interpret mode) must route the grouped fold
+        for q < 2^32 and match the XLA path exactly."""
+        from pvw_tpu.ops import ntt as ntt_ops
+        from pvw_tpu.ops import pallas_modmat as pm
+
+        ring = RingPlan(self.SMALL, 8)
+        L, l, nd = ring.num_limbs, ring.degree, ring.num_digits
+        S, m, k, n = l, 8, 6, 4
+        rng = np.random.default_rng(5)
+        qs = np.array(self.SMALL, np.uint64).reshape(L, 1, 1, 1)
+        a = (rand_u64((L, S, m, k)) % qs).astype(np.uint64)
+        b = (rand_u64((L, S, k, n)) % qs).astype(np.uint64)
+        pa = pairs(a)
+        rs = modmat.prescale_digits(pairs(b), ring)
+        ev = rng.integers(-50, 51, (m, n, l)).astype(np.int32)
+        ref = pm.matmul_fold_scaled(pa, rs, ring)  # XLA (off-TPU)
+        jr = ntt_ops.signed_digit_count(50)
+        dig = ntt_ops._signed_digits(jnp.asarray(ev), jr)
+        planes = jnp.transpose(dig, (2, 3, 0, 1)).reshape(l * jr, m, n)
+        # reference: XLA with noise
+        refn = pm.matmul_fold_scaled(pa, rs, ring, noise=planes)
+        # Pallas interpret with use_words=ring.fold_words_ok (False here)
+        ld = modmat.digits(pa[0], pa[1], nd).reshape(L * S, m, k * nd)
+        r2 = pm._build_rhs_scaled(np.asarray(rs).reshape(L * S, k, n, nd, nd))
+        tables = jnp.repeat(jnp.asarray(pm._pack_tables(ring, nd)), S, axis=0)
+        ntab = jnp.asarray(ring.ntt_scaled_tab(jr), jnp.int32).reshape(
+            L * S, l * jr, nd)
+        oh, ol = pm._fused_scaled_noise_matmul(
+            ld, jnp.asarray(r2), tables, ntab, planes, None, None,
+            8, 4, True, ring.fold_words_ok,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(oh).reshape(L, S, m, n), np.asarray(refn[0]))
+        np.testing.assert_array_equal(
+            np.asarray(ol).reshape(L, S, m, n), np.asarray(refn[1]))
+        del ref
