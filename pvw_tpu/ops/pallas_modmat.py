@@ -12,10 +12,12 @@ columns to residues on the VPU while they are still in VMEM, writing only
 the final uint32 hi/lo pair.
 
 HBM traffic: inputs + outputs only — the speed-of-light minimum for this
-op. Grid: (channels, m/TILE_M). The fold is the same exact grouped-Shoup
-arithmetic as :func:`pvw_tpu.ops.u64.fold_columns_grouped`; exactness is
-tested in interpret mode against the XLA path and on hardware by the
-encryption round-trip tests.
+op. Grid: (channels, m/TILE_M). The fold is the exact word-regrouped
+Shoup arithmetic of :func:`pvw_tpu.ops.u64.fold_columns_words` when every
+modulus exceeds 2^32 (``ring.fold_words_ok``), else the grouped form of
+:func:`pvw_tpu.ops.u64.fold_columns_grouped`; exactness is tested in
+interpret mode against the XLA path and on hardware by the encryption
+round-trip tests.
 """
 
 from __future__ import annotations
