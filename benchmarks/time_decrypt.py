@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from pvw_tpu.crypto.decryption import (
-    _decode_batch, _noisy_message_kernel,
+    _decode_batch, _decrypt_decode_kernel, _noisy_message_kernel,
 )
 from pvw_tpu.ops import u64 as u64op
 from pvw_tpu.params.parameters import PvwParameters, PvwParametersBuilder
@@ -90,8 +90,27 @@ def main():
         residues = u64op.join_u64_np(zn[0], zn[1])
         out = _decode_batch(residues, params)
     e2e = (time.time() - t0) / iters
-    print(f"end-to-end: {e2e * 1000:.2f} ms / {D} msgs "
+    print(f"end-to-end (host decode): {e2e * 1000:.2f} ms / {D} msgs "
           f"({D / e2e:.0f} msg/s, {e2e / D * 1e6:.2f} us/msg)", flush=True)
+
+    # fused on-device decode (the default path): contraction + inverse NTT
+    # + full sequential-rounding decode in ONE program; the only fetch is
+    # the [2, d] u32 message buffer (8 bytes/msg).
+    def fused():
+        return _decrypt_decode_kernel(params, skh, skl, c1h, c1l, c2h, c2l)
+
+    t0 = time.time()
+    np.asarray(fused())
+    print(f"fused warm (compile+run) {time.time() - t0:.1f}s", flush=True)
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        out = np.asarray(fused())
+    fused_dt = (time.time() - t0) / iters
+    assert out.shape == (2, D)
+    print(f"end-to-end (DEVICE decode): {fused_dt * 1000:.2f} ms / {D} msgs "
+          f"({D / fused_dt:.0f} msg/s, {fused_dt / D * 1e6:.2f} us/msg)",
+          flush=True)
 
 
 if __name__ == "__main__":

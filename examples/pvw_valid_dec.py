@@ -76,7 +76,13 @@ def main() -> None:
                for d in range(num_parties)]
 
     t0 = time.time()
-    cts = encrypt_all_party_shares(vectors, gpk, jax.random.fold_in(key, 2))
+    # ONE batched device program for all dealers; decrypt_valid_shares
+    # consumes the batched ciphertext directly (one gathered contraction
+    # + one batched decode for the whole valid subset).
+    from pvw_tpu import encrypt_all_party_shares_batched
+
+    cts = encrypt_all_party_shares_batched(vectors, gpk,
+                                           jax.random.fold_in(key, 2))
     print(f"Encryption ({num_parties} dealers): {time.time() - t0:.3f}s")
 
     # Simulated external validation (pvw_valid_dec.rs:160-178)

@@ -35,6 +35,7 @@ from ..keys.secret_key import SecretKey
 from ..ops import modmat, ntt as ntt_ops, u64 as u64op
 from ..params.parameters import PvwParameters
 from ..utils.intmath import center_mod, rust_div, rust_rem
+from . import device_decode
 from .encryption import PvwCiphertext
 
 
@@ -83,6 +84,49 @@ def _noisy_message_kernel_ch(params: PvwParameters, sk_hi, sk_lo,
     zl = jnp.transpose(zl, (2, 0, 1))
     oh, ol = ntt_ops.ntt_inverse((zh, zl), ring)
     return jnp.stack([oh, ol])
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _decrypt_decode_kernel(params: PvwParameters, sk_hi, sk_lo,
+                           c1_hi, c1_lo, c2_hi, c2_lo):
+    """Fully-fused decryption: <s,c1> - c2, inverse NTT, AND the exact
+    sequential-rounding decode (:mod:`pvw_tpu.crypto.device_decode`) in
+    ONE device program. The only host fetch is 8 bytes per message.
+    Returns stacked uint32 [2, d] (message hi, lo)."""
+    z = _noisy_message_kernel(params, sk_hi, sk_lo, c1_hi, c1_lo,
+                              c2_hi, c2_lo)
+    plan = device_decode.get_plan(params)
+    return device_decode.decode_residues(plan, z[0], z[1])
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _decrypt_decode_kernel_ch(params: PvwParameters, sk_hi, sk_lo,
+                              c1ch_hi, c1ch_lo, c2ch_hi, c2ch_lo):
+    """Channel-major twin of :func:`_decrypt_decode_kernel`."""
+    z = _noisy_message_kernel_ch(params, sk_hi, sk_lo, c1ch_hi, c1ch_lo,
+                                 c2ch_hi, c2ch_lo)
+    plan = device_decode.get_plan(params)
+    return device_decode.decode_residues(plan, z[0], z[1])
+
+
+def _decode_mode(params: PvwParameters) -> str:
+    """Decode engine selection: ``PVW_TPU_DECODE`` in {device, native,
+    python}; default is the on-device decode whenever the parameter set
+    supports it (all practical sets do — Δ ≥ 2)."""
+    import os
+
+    mode = os.environ.get("PVW_TPU_DECODE", "device")
+    if mode == "device" and not device_decode.decode_supported(params):
+        mode = "native"
+    return mode
+
+
+def _messages_from_device(out) -> list[int]:
+    """Stacked uint32 [2, d] -> list of ints."""
+    arr = np.asarray(out)
+    vals = (arr[0].astype(np.uint64) << np.uint64(32)) | arr[1].astype(
+        np.uint64)
+    return [int(v) for v in vals]
 
 
 # --------------------------------------------------------------------------
@@ -181,11 +225,11 @@ def decrypt_party_value(ciphertext: PvwCiphertext, secret_key: SecretKey,
     sk = secret_key.to_polynomials()
     c1 = ciphertext.c1
     c2 = ciphertext.c2[party_index]
-    z = np.asarray(_noisy_message_kernel(
-        params, sk.hi, sk.lo,
-        c1.hi[:, None], c1.lo[:, None],
-        c2.hi[None], c2.lo[None],
-    ))
+    args = (params, sk.hi, sk.lo, c1.hi[:, None], c1.lo[:, None],
+            c2.hi[None], c2.lo[None])
+    if _decode_mode(params) == "device":
+        return _messages_from_device(_decrypt_decode_kernel(*args))[0]
+    z = np.asarray(_noisy_message_kernel(*args))
     residues = u64op.join_u64_np(z[0], z[1])
     return decode_scalar_pvw_rns(residues[0], params)
 
@@ -212,10 +256,11 @@ def decrypt_party_shares(all_ciphertexts, secret_key: SecretKey,
         if ct.c1.is_channel_major and ct.c2.is_channel_major:
             # native encrypt_batch output: consume channel-major directly
             sk = secret_key.to_polynomials()
-            z = np.asarray(_noisy_message_kernel_ch(
-                params, sk.hi, sk.lo, *ct.c1.channel_pair(),
-                *ct.c2[party_index].channel_pair(),
-            ))
+            args = (params, sk.hi, sk.lo, *ct.c1.channel_pair(),
+                    *ct.c2[party_index].channel_pair())
+            if _decode_mode(params) == "device":
+                return _messages_from_device(_decrypt_decode_kernel_ch(*args))
+            z = np.asarray(_noisy_message_kernel_ch(*args))
             residues = u64op.join_u64_np(z[0], z[1])
             return _decode_batch(residues, params)
         c1_hi, c1_lo = ct.c1.hi, ct.c1.lo            # [k, d, L, l]
@@ -243,8 +288,9 @@ def decrypt_party_shares(all_ciphertexts, secret_key: SecretKey,
         c2_lo = jnp.stack([ct.c2.lo[party_index] for ct in all_ciphertexts])
 
     sk = secret_key.to_polynomials()
-    z = np.asarray(_noisy_message_kernel(
-        params, sk.hi, sk.lo, c1_hi, c1_lo, c2_hi, c2_lo
-    ))
+    args = (params, sk.hi, sk.lo, c1_hi, c1_lo, c2_hi, c2_lo)
+    if _decode_mode(params) == "device":
+        return _messages_from_device(_decrypt_decode_kernel(*args))
+    z = np.asarray(_noisy_message_kernel(*args))
     residues = u64op.join_u64_np(z[0], z[1])
     return _decode_batch(residues, params)

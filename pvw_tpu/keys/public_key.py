@@ -326,6 +326,14 @@ class GlobalPublicKey:
             raise InvalidParameters(
                 f"Too many secret keys: {coeffs.shape[0]} > {self.params.n}"
             )
+        if self.params.error_bound_1 >= min(self.params.ring.moduli):
+            # the device error-sampling kernel requires bound < min modulus;
+            # generate_all_keys falls back to host sampling for such
+            # configs — fail loudly here instead of deep in the kernel.
+            raise InvalidParameters(
+                f"error_bound_1 {self.params.error_bound_1:#x} >= smallest "
+                "modulus: device keygen unsupported, use generate_all_keys"
+            )
         if coeff_bound is None:
             coeff_bound = cbd_bound(self.params.secret_variance)
         for b in (127, 32639):

@@ -635,7 +635,7 @@ def matmul_channels_pallas(lhs, rhs, ring: "RingPlan", tile_m: int = 256,
     ld = digits(lh, ll, nd).reshape(L * S, m, k * nd)
     rd = digits(rh, rl, nd).reshape(L * S, k, n, nd)
     band = _build_band_cmajor(rd)
-    tables = jnp.repeat(jnp.asarray(_pack_tables(ring)), S, axis=0)  # [L*S, 24]
+    tables = jnp.repeat(jnp.asarray(_pack_tables(ring)), S, axis=0)  # [L*S, 36]
     oh, ol = _fused_banded_matmul(ld, band, tables, tile_m, tile_n, interpret,
                                   ring.fold_words_ok)
     return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)

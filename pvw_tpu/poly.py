@@ -126,10 +126,18 @@ class Poly:
 
     # -- pytree protocol ------------------------------------------------
     def tree_flatten(self):
-        return (self.hi, self.lo), (self.rep, self.ring)
+        # Flatten the NATIVE storage with a layout flag, so channel-major
+        # laziness survives pytree boundaries (jit args, tree_map,
+        # shard_map) instead of silently materializing the transpose.
+        if self._hi is None:
+            return (self._chh, self._chl), (self.rep, self.ring, True)
+        return (self._hi, self._lo), (self.rep, self.ring, False)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
+        if len(aux) > 2 and aux[2]:
+            return cls.from_channel_major(children[0], children[1],
+                                          aux[0], aux[1])
         return cls(children[0], children[1], aux[0], aux[1])
 
     # -- constructors ---------------------------------------------------

@@ -175,8 +175,10 @@ def sample_uniform_signed_rows(
     [-bound, bound] instead of embedded residues.
 
     Draws the IDENTICAL random stream as
-    :func:`sample_uniform_residues_rows` (same fold_in keys, same 128-bit
-    reduction), so kernels switching to the small-coefficient NTT path
+    :func:`sample_uniform_residues_rows` (same fold_in keys, same
+    adaptive-width 96/128-bit reduction — stream v3 picks the width from
+    the range, identically in both functions), so kernels switching to
+    the small-coefficient NTT path
     (:func:`pvw_tpu.ops.ntt.ntt_forward_cols_signed`) produce bit-identical
     ciphertexts. Requires bound < 2^30 so v - bound fits int32; the signed
     NTT path further requires bound <= 32639.

@@ -208,6 +208,23 @@ class TestThreshold:
         result = decrypt_valid_shares(cts, [2, 1], 2, parties[0].secret_key, 0)
         assert result == [(2, vectors[2][0]), (1, vectors[1][0])]
 
+    def test_decrypt_valid_shares_batched_ciphertext(self):
+        """The batched fast path (one gathered contraction + one decode)
+        must agree with the list path, dealer indices preserved."""
+        from pvw_tpu import encrypt_all_party_shares_batched
+
+        p, gpk, parties = setup_system()
+        vectors = [[d * 1000 + r + 1 for r in range(p.n)] for d in range(p.n)]
+        ct = encrypt_all_party_shares_batched(vectors, gpk, jax.random.key(17))
+        for pi in range(p.n):
+            result = decrypt_valid_shares(ct, [2, 0], 2,
+                                          parties[pi].secret_key, pi)
+            assert result == [(2, vectors[2][pi]), (0, vectors[0][pi])]
+        with pytest.raises(InsufficientValidCiphertexts):
+            decrypt_valid_shares(ct, [1], 2, parties[0].secret_key, 0)
+        with pytest.raises(InvalidParameters, match="duplicate"):
+            decrypt_valid_shares(ct, [0, 0], 1, parties[0].secret_key, 0)
+
 
 class TestHigherVariance:
     def test_variance_10_roundtrip(self):
