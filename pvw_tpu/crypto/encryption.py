@@ -147,7 +147,32 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
     # tensor through HBM, ~20 ms of the 39 ms batch-1024 call. The gadget
     # encode addmods in the kernel epilogue (``post=``). Bounds too large
     # for signed digits (> 32639) fall back to the residue path.
-    from ..ops.pallas_modmat import matmul_fold_scaled
+    #
+    # On TPU the noise is GENERATED INSIDE the kernel by default ("stream
+    # v4": per-tile-seeded hardware PRNG, same floor(x*range/2^96) exact
+    # reduction — see pallas_modmat._make_fold_body) — the separate
+    # threefry draw was ~15% of device time and its digit planes another
+    # HBM round trip. PVW_TPU_NOISE=v3 restores the threefry stream
+    # (bit-identical to the CPU backend); off-TPU always uses v3.
+    import os as _os
+
+    from ..ops.pallas_modmat import kernel_noise_available, matmul_fold_scaled
+    from ..ops.ntt import signed_digit_count
+
+    use_v4 = _os.environ.get("PVW_TPU_NOISE", "kernel") != "v3"
+
+    def _gen_noise(kk, rows, bound, has_post, has_encode):
+        """(seeds, jr, bound) for the in-kernel PRNG path, or None."""
+        if not use_v4:
+            return None
+        jr = signed_digit_count(bound)
+        if not jr or not kernel_noise_available(
+                ring, rows, d, k, bound, has_post, has_encode):
+            return None
+        kd_words = jax.lax.bitcast_convert_type(
+            jax.random.key_data(kk).reshape(2), jnp.int32)
+        seeds = jnp.concatenate([kd_words, jnp.zeros(2, jnp.int32)])
+        return (seeds, jr, int(bound))
 
     def _noise_planes(kk, rows, bound):
         """int8 signed-digit planes [l*jr, rows, d], or None (big bound)."""
@@ -168,13 +193,19 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
     r_scaled = modmat.prescale_digits(r_ch, ring)       # [L,l,k,d,nd,nd]
 
     # c1 = A·r + e1                                      (encryption.rs:156-173)
-    n1 = _noise_planes(k_e1, k, params.error_bound_1)
-    c1h, c1l = matmul_fold_scaled(
-        None, r_scaled, ring, noise=n1, lhs_dig=a_dig
-    )                                                           # [L,l,k,d]
-    if n1 is None:
-        e1h, e1l = _noise_residues_ch(k_e1, k, params.error_bound_1)
-        c1h, c1l = u64op.addmod(c1h, c1l, e1h, e1l, qh4, ql4)
+    g1 = _gen_noise(k_e1, k, params.error_bound_1, False, False)
+    if g1 is not None:
+        c1h, c1l = matmul_fold_scaled(
+            None, r_scaled, ring, gen_noise=g1, lhs_dig=a_dig
+        )                                                       # [L,l,k,d]
+    else:
+        n1 = _noise_planes(k_e1, k, params.error_bound_1)
+        c1h, c1l = matmul_fold_scaled(
+            None, r_scaled, ring, noise=n1, lhs_dig=a_dig
+        )
+        if n1 is None:
+            e1h, e1l = _noise_residues_ch(k_e1, k, params.error_bound_1)
+            c1h, c1l = u64op.addmod(c1h, c1l, e1h, e1l, qh4, ql4)
 
     # encode: m·g in NTT domain, computed INSIDE the matmul kernel from the
     # scalar pair tile + per-channel constants (g, Shoup(g), and the
@@ -189,14 +220,21 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
     enc = (jnp.transpose(sc_hi), jnp.transpose(sc_lo), etab)     # sc [n, d]
 
     # c2 = B·r + encode(scalars) + e2                    (encryption.rs:175-200)
-    n2 = _noise_planes(k_e2, n, params.error_bound_2)
-    c2h, c2l = matmul_fold_scaled(
-        None, r_scaled, ring, noise=n2, encode=enc, lhs_dig=b_dig,
-        encode32=encode32,
-    )                                                           # [L,l,n,d]
-    if n2 is None:
-        e2h, e2l = _noise_residues_ch(k_e2, n, params.error_bound_2)
-        c2h, c2l = u64op.addmod(c2h, c2l, e2h, e2l, qh4, ql4)
+    g2 = _gen_noise(k_e2, n, params.error_bound_2, False, True)
+    if g2 is not None:
+        c2h, c2l = matmul_fold_scaled(
+            None, r_scaled, ring, gen_noise=g2, encode=enc, lhs_dig=b_dig,
+            encode32=encode32,
+        )                                                       # [L,l,n,d]
+    else:
+        n2 = _noise_planes(k_e2, n, params.error_bound_2)
+        c2h, c2l = matmul_fold_scaled(
+            None, r_scaled, ring, noise=n2, encode=enc, lhs_dig=b_dig,
+            encode32=encode32,
+        )
+        if n2 is None:
+            e2h, e2l = _noise_residues_ch(k_e2, n, params.error_bound_2)
+            c2h, c2l = u64op.addmod(c2h, c2l, e2h, e2l, qh4, ql4)
     return c1h, c1l, c2h, c2l                         # channel-major
 
 

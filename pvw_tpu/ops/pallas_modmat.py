@@ -40,7 +40,7 @@ if TYPE_CHECKING:
 
 def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
                     use_words: bool = False, has_encode: bool = False,
-                    encode32: bool = False):
+                    encode32: bool = False, gen_noise: tuple | None = None):
     """Factory for the fused matmul+fold kernel bodies.
 
     All variants bias each int32 column by +2^31 and accumulate groups of
@@ -70,22 +70,37 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
     - ``encode32``: all scalars are < 2^32 (host-checked): the encode is a
       single 32-bit Shoup multiply of the low word and the i64-wrap
       correction is statically dead (~half the encode VPU ops).
+    - ``gen_noise``: (ldeg, jr, bound) — generate the bounded-uniform
+      noise IN-KERNEL with the TPU hardware PRNG ("stream v4") instead of
+      taking digit planes as an input: at the first channel of each
+      (i, j) tile the kernel seeds the PRNG with
+      (key0 ^ blockmix, key1), where blockmix = (global_row0/8)<<17 |
+      col0/128 is unique per tile block, draws 96 bits per (coeff, m, n)
+      sample, reduces exactly as :func:`pvw_tpu.sampling.uniform.
+      sample_bounded_u64` (distance < range/2^96), and stores the signed
+      digit planes in VMEM scratch reused across channels. SECURITY NOTE:
+      the TPU hardware PRNG is deterministic per seed but not a specified
+      CSPRNG; set PVW_TPU_NOISE=v3 to keep the threefry stream (slower —
+      the threefry draw was ~15% of device time).
 
     Ref order: tables [CH, 36] u32 SMEM; (enc_tab [1, 8] u32 SMEM if
     has_encode); (ntab [1, ljr, C] i32 SMEM if has_noise);
-    lhs [1, TM, kd] i8; band [1, C, kd, TN] i8;
-    (noise [ljr, TM, TN] i8 if has_noise); (post hi/lo [1, TM, TN] u32 if
-    has_post); (sc hi/lo [TM, TN] u32 if has_encode);
-    outputs hi/lo [1, TM, TN] u32.
+    (seeds [4] i32 SMEM if gen_noise); lhs [1, TM, kd] i8;
+    band [1, C, kd, TN] i8; (noise [ljr, TM, TN] i8 if has_noise and not
+    gen_noise); (post hi/lo [1, TM, TN] u32 if has_post); (sc hi/lo
+    [TM, TN] u32 if has_encode); outputs hi/lo [1, TM, TN] u32;
+    (scratch noise [ljr, TM, TN] i8 if gen_noise).
     """
 
     def body(tables_ref, *refs):
         refs = list(refs)
         enc_tab_ref = refs.pop(0) if has_encode else None
         ntab_ref = refs.pop(0) if has_noise else None
+        seed_ref = refs.pop(0) if gen_noise else None
         lhs_ref = refs.pop(0)
         band_ref = refs.pop(0)
-        noise_ref = refs.pop(0) if has_noise else None
+        noise_ref = (refs.pop(0) if has_noise and gen_noise is None
+                     else None)
         if has_post:
             post_hi_ref, post_lo_ref = refs.pop(0), refs.pop(0)
         if has_encode:
@@ -93,9 +108,48 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
                 sc_lo_ref = refs.pop(0)
             else:
                 sc_hi_ref, sc_lo_ref = refs.pop(0), refs.pop(0)
-        out_hi_ref, out_lo_ref = refs
+        if gen_noise is not None:
+            out_hi_ref, out_lo_ref, noise_scr = refs
+        else:
+            out_hi_ref, out_lo_ref = refs
         tm = lhs_ref.shape[1]
         n = out_hi_ref.shape[2]
+
+        if gen_noise is not None:
+            ldeg, jr, bound = gen_noise
+            rng32 = jnp.uint32(2 * bound + 1)
+
+            @pl.when(pl.program_id(ch_axis) == 0)
+            def _generate():
+                i = pl.program_id(0)
+                j = pl.program_id(1)
+                row0 = seed_ref[2] + i * tm
+                mix = ((row0 >> 3) << 17) | ((j * n) >> 7)
+                pltpu.prng_seed(seed_ref[0] ^ mix, seed_ref[1])
+                for jj in range(ldeg):
+                    bits = pltpu.bitcast(
+                        pltpu.prng_random_bits((3, tm, n)), u.U32)
+                    # v = floor(x96 * range / 2^96): exact 96-bit scaled
+                    # reduction (the sample_bounded_u64 fast path).
+                    h0 = u.mulhi32(bits[2], rng32)
+                    h1, l1 = u.mul32_wide(bits[1], rng32)
+                    h2, l2 = u.mul32_wide(bits[0], rng32)
+                    s32 = h0 + l1
+                    c32 = (s32 < h0).astype(u.U32)
+                    s64 = h1 + l2
+                    c64a = (s64 < h1).astype(u.U32)
+                    s64 = s64 + c32
+                    c64b = ((s64 == 0).astype(u.U32)) & c32
+                    v = h2 + c64a + c64b                  # < 2*bound+1
+                    sv = v.astype(jnp.int32) - bound      # [-bound, bound]
+                    if jr == 1:
+                        noise_scr[jj] = sv.astype(jnp.int8)
+                    else:
+                        d0 = ((sv + 128) & 255) - 128
+                        noise_scr[2 * jj] = d0.astype(jnp.int8)
+                        noise_scr[2 * jj + 1] = ((sv - d0) >> 8).astype(
+                            jnp.int8)
+            noise_ref = noise_scr
         C = band_ref.shape[1]
         ng = (C + 3) // 4
         ch = pl.program_id(ch_axis)
@@ -331,15 +385,18 @@ def _pick_tiles(m: int, n: int, kd: int, C: int, extra_mn: int = 0):
     return None
 
 
-@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 13))
 def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
                                encode, tile_m: int, tile_n: int,
                                interpret: bool, use_words: bool = False,
-                               encode32: bool = False):
+                               encode32: bool = False, seeds=None,
+                               gen_noise: tuple | None = None):
     """lhs_dig int8 [CH, m, kd]; band int8 [CH, nd, kd, n]; tables uint32
-    [CH, 36]; ntab int32 [CH, ljr, nd]; noise int8 [ljr, m, n]; post
-    None or pair of uint32 [CH, m, n]; encode None or (sc_hi, sc_lo,
-    enc_tab) with sc_* uint32 [m, n] and enc_tab uint32 [CH, 8]
+    [CH, 36]; ntab int32 [CH, ljr, nd]; noise int8 [ljr, m, n] (or None
+    with ``gen_noise``); post None or pair of uint32 [CH, m, n]; encode
+    None or (sc_hi, sc_lo, enc_tab) with sc_* uint32 [m, n] and enc_tab
+    uint32 [CH, 8]; seeds int32 [4] (key0, key1, row_offset, 0) with
+    ``gen_noise`` = (ldeg, jr, bound) for the in-kernel PRNG noise
     -> (hi, lo) uint32 [CH, m, n].
 
     Grid (m-tiles, n-tiles, CH) with CH innermost so the noise/scalar
@@ -349,7 +406,8 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
     ch, m, kd = lhs_dig.shape
     n = band.shape[3]
     C = band.shape[1]
-    ljr = noise.shape[0]
+    ljr = (noise.shape[0] if gen_noise is None
+           else gen_noise[0] * gen_noise[1])
     has_post = post is not None
     has_encode = encode is not None
     grid = (m // tile_m, n // tile_n, ch)
@@ -374,14 +432,23 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
         # SMEM-pads past the 1 MB scalar memory at deep chains (CH=272)
         pl.BlockSpec((1, ljr, C), lambda i, j, c: (c, 0, 0),
                      memory_space=pltpu.SMEM),
+    ]
+    operands += [ntab]
+    if gen_noise is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # seeds [4]
+        operands.append(seeds)
+    in_specs += [
         pl.BlockSpec((1, tile_m, kd), lambda i, j, c: (c, i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, C, kd, tile_n), lambda i, j, c: (c, 0, 0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((ljr, tile_m, tile_n), lambda i, j, c: (0, i, j),
-                     memory_space=pltpu.VMEM),
     ]
-    operands += [ntab, lhs_dig, band, noise]
+    operands += [lhs_dig, band]
+    if gen_noise is None:
+        in_specs.append(
+            pl.BlockSpec((ljr, tile_m, tile_n), lambda i, j, c: (0, i, j),
+                         memory_space=pltpu.VMEM))
+        operands.append(noise)
     if has_post:
         in_specs += [mn_spec(), mn_spec()]
         operands += [post[0], post[1]]
@@ -396,12 +463,16 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
         jax.ShapeDtypeStruct((ch, m, n), jnp.uint32),
         jax.ShapeDtypeStruct((ch, m, n), jnp.uint32),
     ]
+    scratch = ([pltpu.VMEM((ljr, tile_m, tile_n), jnp.int8)]
+               if gen_noise is not None else [])
     oh, ol = pl.pallas_call(
-        _make_fold_body(2, True, has_post, use_words, has_encode, encode32),
+        _make_fold_body(2, True, has_post, use_words, has_encode, encode32,
+                        gen_noise),
         grid=grid,
         in_specs=in_specs,
         out_specs=[mn_spec(), mn_spec()],
         out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*operands)
     return oh, ol
@@ -436,9 +507,50 @@ def _encode_residues_xla(encode, L, S, ring: "RingPlan"):
     return jnp.where(neg, wh, eh), jnp.where(neg, wl, el)
 
 
+def _gen_noise_extra(ljr: int, has_post: bool, has_encode: bool) -> int:
+    """extra_mn bytes/element for the gen_noise kernel variant: the VMEM
+    noise scratch (ljr int8 planes, single-buffered) + PRNG generation
+    temporaries + the optional post/encode blocks."""
+    return ljr + 24 + (12 if has_post else 0) + (16 if has_encode else 0)
+
+
+def kernel_noise_available(ring: "RingPlan", m: int, n: int, k: int,
+                           bound: int, has_post: bool = False,
+                           has_encode: bool = True) -> bool:
+    """True when :func:`matmul_fold_scaled` can take the fused Pallas path
+    with IN-KERNEL noise generation (``gen_noise``) for these shapes: TPU
+    backend, bound within the signed-digit range, and tiles that fit
+    VMEM. Callers must check this BEFORE choosing the stream-v4 path —
+    the XLA fallback cannot reproduce the hardware PRNG."""
+    import os
+
+    from .ntt import signed_digit_count
+
+    if jax.default_backend() != "tpu" or os.environ.get("PVW_NO_PALLAS"):
+        return False
+    jr = signed_digit_count(bound)
+    if not jr:
+        return False
+    nd = ring.num_digits
+    extra = _gen_noise_extra(ring.degree * jr, has_post, has_encode)
+    tiles = _pick_tiles(m, n, k * nd, nd, extra)
+    if tiles is None:
+        return False
+    tile_m, tile_n = tiles
+    tile_m = min(tile_m, m)
+    while m % tile_m:
+        tile_m //= 2
+    tile_n = min(tile_n, n)
+    while n % tile_n:
+        tile_n //= 2
+    if (tile_m % 8 and tile_m != m) or (tile_n % 128 and tile_n != n):
+        return False
+    return True
+
+
 def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
                        post=None, encode=None, lhs_dig=None,
-                       encode32: bool = False):
+                       encode32: bool = False, gen_noise=None):
     """Fused modular matmul against a PRESCALED rhs (scaled-digit form).
 
     lhs: pair [L, S, m, k]; rhs_scaled: int8 [L, S, k, n, nd, nd] from
@@ -469,6 +581,13 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
     [L, S, m, k*nd] (:func:`pvw_tpu.ops.modmat.lhs_digit_planes`) —
     cache these for encryption-invariant operands (key matrices);
     ``lhs`` is ignored when given.
+
+    ``gen_noise``: (seeds int32[4] = (key0, key1, row_offset, 0), jr,
+    bound) — generate the noise IN-KERNEL ("stream v4", TPU hardware
+    PRNG; see :func:`_make_fold_body`). Mutually exclusive with
+    ``noise``. Callers MUST have checked :func:`kernel_noise_available`;
+    this function raises if the Pallas path is unavailable, because the
+    XLA fallback cannot reproduce the hardware PRNG stream.
     """
     import os
 
@@ -483,7 +602,9 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
         L, S, m, k = lh.shape
         kd = k * nd
     n = rhs_scaled.shape[3]
-    if noise is not None and S != ring.degree:
+    if gen_noise is not None and noise is not None:
+        raise ValueError("gen_noise and noise are mutually exclusive")
+    if (noise is not None or gen_noise is not None) and S != ring.degree:
         raise ValueError("noise fusion requires the channel minor axis "
                          "to be the NTT point axis (S == ring.degree)")
 
@@ -503,16 +624,26 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
 
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu or os.environ.get("PVW_NO_PALLAS"):
+        if gen_noise is not None:
+            raise RuntimeError("gen_noise requires the TPU Pallas path "
+                               "(check kernel_noise_available first)")
         return _xla()
     # extra blocks: noise digits (int8/plane, double-buffered via blocks
     # term) + post pair + encode scalar pair; plus per-plane kernel
     # temporaries (2B/elt each, measured against Mosaic's scoped-vmem
     # accounting)
-    extra_mn = (0 if noise is None else 3 * noise.shape[0]) \
-        + (0 if post is None else 12) \
-        + (0 if encode is None else 16)
+    if gen_noise is not None:
+        extra_mn = _gen_noise_extra(ring.degree * gen_noise[1],
+                                    post is not None, encode is not None)
+    else:
+        extra_mn = (0 if noise is None else 3 * noise.shape[0]) \
+            + (0 if post is None else 12) \
+            + (0 if encode is None else 16)
     tiles = _pick_tiles(m, n, kd, nd, extra_mn)
     if tiles is None:
+        if gen_noise is not None:
+            raise RuntimeError("gen_noise tiles do not fit VMEM "
+                               "(check kernel_noise_available first)")
         return _xla()
     tile_m, tile_n = tiles
     tile_m = min(tile_m, m)
@@ -525,16 +656,27 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
     # equal to the array dims; awkward m/n (e.g. a 308-party keygen
     # chunk) can floor the tile into an illegal size — use XLA instead.
     if (tile_m % 8 and tile_m != m) or (tile_n % 128 and tile_n != n):
+        if gen_noise is not None:
+            raise RuntimeError("gen_noise tile shape Mosaic-illegal "
+                               "(check kernel_noise_available first)")
         return _xla()
     ld = (lhs_dig.reshape(L * S, m, kd) if lhs_dig is not None
           else modmat.digits(lh, ll, nd).reshape(L * S, m, kd))
     r2 = _build_rhs_scaled(rhs_scaled.reshape(L * S, k, n, nd, nd))
     tables = jnp.repeat(jnp.asarray(_pack_tables(ring, nd)), S, axis=0)
-    if noise is None and post is None and encode is None:
+    if noise is None and gen_noise is None and post is None and encode is None:
         oh, ol = _fused_banded_matmul(ld, r2, tables, tile_m, tile_n, False,
                                       ring.fold_words_ok)
         return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)
-    if noise is None:
+    seeds = None
+    gen_static = None
+    if gen_noise is not None:
+        seeds, jr, bound = gen_noise
+        gen_static = (ring.degree, int(jr), int(bound))
+        ntab = jnp.asarray(
+            ring.ntt_scaled_tab(jr), jnp.int32
+        ).reshape(L * S, S * jr, nd)
+    elif noise is None:
         # post without noise: a zero one-plane noise input (cost ~0)
         noise = jnp.zeros((1, m, n), jnp.int8)
         ntab = jnp.zeros((L * S, 1, nd), jnp.int32)
@@ -550,7 +692,7 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
         post_ch = (post[0].reshape(L * S, m, n), post[1].reshape(L * S, m, n))
     oh, ol = _fused_scaled_noise_matmul(
         ld, r2, tables, ntab, noise, post_ch, encode, tile_m, tile_n, False,
-        ring.fold_words_ok, encode32,
+        ring.fold_words_ok, encode32, seeds, gen_static,
     )
     return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)
 

@@ -72,13 +72,18 @@ def _modsum_gathered(parts_hi, parts_lo, ring, axis_name: str):
 
 @partial(jax.jit, static_argnums=(0, 1))
 def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
-                            a_hi, a_lo, b_hi, b_lo, sc_hi, sc_lo, key):
+                            a_dig, b_dig, sc_hi, sc_lo, key):
     """Sharded twin of ``crypto.encryption._encrypt_kernel``.
 
-    Sharding: A [k, k, L, l] column-blocked over kdim; B [n, k, L, l]
-    row-blocked over recv and column-blocked over kdim; scalars [d, n]
-    sharded over recv on the n axis. Outputs: c1 [k, d, L, l] replicated,
-    c2 [n, d, L, l] row-sharded over recv.
+    Operands are the CACHED channel-major digit planes from
+    :meth:`GlobalPublicKey.encrypt_operands` — the same
+    encryption-invariant tensors the single-device kernel consumes, so
+    the sharded path pays no per-call re-digitization of A/B (round-1
+    weakness). Sharding: a_dig int8 [L, l, k, k*nd] column-blocked over
+    kdim on the trailing (k-major) digit axis; b_dig int8 [L, l, n, k*nd]
+    additionally row-blocked over recv; scalars [d, n] sharded over recv
+    on the n axis. Outputs: c1 [k, d, L, l] replicated, c2 [n, d, L, l]
+    row-sharded over recv.
     """
     ring = params.ring
     k, n, l = params.k, params.n, params.l
@@ -95,7 +100,13 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         e = sample_uniform_residues_rows(kk, row_off, rows, (d, l), bound, ring)
         return ntt_ops.ntt_forward(e, ring)
 
-    from ..ops.pallas_modmat import matmul_fold_scaled
+    import os as _os
+
+    from ..ops.pallas_modmat import (
+        kernel_noise_available, matmul_fold_scaled,
+    )
+
+    use_v4 = _os.environ.get("PVW_TPU_NOISE", "kernel") != "v3"
 
     def _noise_planes(kk, row_off, rows, bound):
         """int8 digit planes [l*jr, rows, d] for the in-kernel noise NTT,
@@ -103,7 +114,25 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         row-keyed stream as _noise_ntt (bit-identical values)."""
         return ntt_ops.noise_digit_planes(kk, row_off, rows, d, l, bound)
 
-    def shard_fn(a_hi, a_lo, b_hi, b_lo, sc_hi, sc_lo, key):
+    def _gen_noise_seeds(kk, rows, bound, row_off, has_encode):
+        """Stream-v4 in-kernel PRNG seeds (see crypto.encryption), with
+        the shard's GLOBAL row offset so every mesh shape draws the same
+        per-row-block streams on the same hardware; None -> v3 path."""
+        if not use_v4:
+            return None
+        jr = ntt_ops.signed_digit_count(bound)
+        if not jr or not kernel_noise_available(
+                ring, rows, d, k, bound, False, has_encode):
+            return None
+        kd_words = jax.lax.bitcast_convert_type(
+            jax.random.key_data(kk).reshape(2), jnp.int32)
+        seeds = jnp.concatenate([
+            kd_words, jnp.asarray(row_off, jnp.int32).reshape(1),
+            jnp.zeros(1, jnp.int32),
+        ])
+        return (seeds, jr, int(bound))
+
+    def shard_fn(a_dig, b_dig, sc_hi, sc_lo, key):
         k_r, k_e1, k_e2 = jax.random.split(key, 3)
         my_k = jax.lax.axis_index("kdim")
         to_ch = lambda x: jnp.transpose(x, (2, 3, 0, 1))
@@ -151,10 +180,13 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
             return upd(parts[0], s[0]), upd(parts[1], s[1])
 
         # c1 partial over the local k block, then gather+addmod over kdim
-        n1 = _noise_planes(k_e1, 0, k, params.error_bound_1) if whole_k \
-            else None
+        g1 = _gen_noise_seeds(k_e1, k, params.error_bound_1, 0, False) \
+            if whole_k else None
+        n1 = None
+        if whole_k and g1 is None:
+            n1 = _noise_planes(k_e1, 0, k, params.error_bound_1)
         c1p_ch = matmul_fold_scaled(
-            (to_ch(a_hi), to_ch(a_lo)), r_scaled, ring, noise=n1
+            None, r_scaled, ring, noise=n1, gen_noise=g1, lhs_dig=a_dig
         )
         c1p = (from_ch(c1p_ch[0]), from_ch(c1p_ch[1]))
         if n1 is None and kd > 1:
@@ -164,19 +196,22 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
             c1p = _bake_rows(c1p, e1b, my_k * kc, kc)
         c1_hi, c1_lo = _modsum_gathered(c1p[0], c1p[1], ring, "kdim")
         c1 = (c1_hi, c1_lo)
-        if n1 is None and kd == 1:
+        if g1 is None and n1 is None and kd == 1:
             e1 = _noise_ntt(k_e1, 0, k, params.error_bound_1)
             c1 = modmat.poly_add(c1, e1, ring)
 
         # c2: local receiver rows x local k block; e2 row-keyed over this
         # shard's receiver rows
         my_r = jax.lax.axis_index("recv")
-        nl = b_hi.shape[0]
-        n2 = _noise_planes(k_e2, my_r * nl, nl, params.error_bound_2) \
-            if whole_k else None
+        nl = b_dig.shape[2]
+        g2 = _gen_noise_seeds(k_e2, nl, params.error_bound_2, my_r * nl,
+                              True) if whole_k else None
+        n2 = None
+        if whole_k and g2 is None:
+            n2 = _noise_planes(k_e2, my_r * nl, nl, params.error_bound_2)
         c2p_ch = matmul_fold_scaled(
-            (to_ch(b_hi), to_ch(b_lo)), r_scaled, ring, noise=n2,
-            encode=enc_k if whole_k else None,
+            None, r_scaled, ring, noise=n2, gen_noise=g2,
+            encode=enc_k if whole_k else None, lhs_dig=b_dig,
         )
         c2p = (from_ch(c2p_ch[0]), from_ch(c2p_ch[1]))
         # kdim > 1: split the per-receiver-block e2 + encode work across
@@ -204,7 +239,7 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
             enc = (jnp.transpose(enc_ch[0], (2, 3, 0, 1)),     # [nl, d, L, l]
                    jnp.transpose(enc_ch[1], (2, 3, 0, 1)))
             c2 = modmat.poly_add(c2, enc, ring)
-        if n2 is None and not split_rows:
+        if g2 is None and n2 is None and not split_rows:
             e2 = _noise_ntt(k_e2, my_r * nl, nl, params.error_bound_2)
             c2 = modmat.poly_add(c2, e2, ring)
         return c1[0], c1[1], c2[0], c2[1]
@@ -213,14 +248,16 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         shard_fn,
         mesh=mesh,
         in_specs=(
-            P(None, "kdim"), P(None, "kdim"),        # A column blocks
-            P("recv", "kdim"), P("recv", "kdim"),    # B row+column blocks
+            # digit planes [L, l, m, k*nd]: the trailing axis is k-major,
+            # so a kdim block IS a k-column block of digits
+            P(None, None, None, "kdim"),             # A digit planes
+            P(None, None, "recv", "kdim"),           # B digit planes
             P(None, "recv"), P(None, "recv"),        # scalars over n axis
             P(),                                     # key replicated
         ),
         out_specs=(P(), P(), P("recv"), P("recv")),
         check_vma=False,
-    )(a_hi, a_lo, b_hi, b_lo, sc_hi, sc_lo, key)
+    )(a_dig, b_dig, sc_hi, sc_lo, key)
 
 
 def encrypt_batch_sharded(all_scalars, global_pk: GlobalPublicKey,
@@ -249,9 +286,10 @@ def encrypt_batch_sharded(all_scalars, global_pk: GlobalPublicKey,
             f"kdim={kd}"
         )
     sc_hi, sc_lo = _scalars_to_pairs(arr)
+    a_dig, b_dig = global_pk.encrypt_operands()   # cached digit planes —
+    # the same encryption-invariant operands the single-device path uses
     c1h, c1l, c2h, c2l = _encrypt_kernel_sharded(
-        params, mesh, *global_pk.crs.matrix.pair, *global_pk.matrix.pair,
-        sc_hi, sc_lo, key,
+        params, mesh, a_dig, b_dig, sc_hi, sc_lo, key,
     )
     return PvwCiphertext(
         Poly(c1h, c1l, Representation.Ntt, params.ring),
