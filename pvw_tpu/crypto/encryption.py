@@ -201,7 +201,8 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
     else:
         n1 = _noise_planes(k_e1, k, params.error_bound_1)
         c1h, c1l = matmul_fold_scaled(
-            None, r_scaled, ring, noise=n1, lhs_dig=a_dig
+            None, r_scaled, ring, noise=n1, lhs_dig=a_dig,
+            noise_bound=params.error_bound_1,
         )
         if n1 is None:
             e1h, e1l = _noise_residues_ch(k_e1, k, params.error_bound_1)
@@ -230,7 +231,7 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
         n2 = _noise_planes(k_e2, n, params.error_bound_2)
         c2h, c2l = matmul_fold_scaled(
             None, r_scaled, ring, noise=n2, encode=enc, lhs_dig=b_dig,
-            encode32=encode32,
+            encode32=encode32, noise_bound=params.error_bound_2,
         )
         if n2 is None:
             e2h, e2l = _noise_residues_ch(k_e2, n, params.error_bound_2)

@@ -65,7 +65,8 @@ def _batch_keygen_kernel(params: PvwParameters, a_hi, a_lo, coeffs, key,
     b1 = params.error_bound_1
     noise = ntt_ops.noise_digit_planes(key, row_offset, p, k, l, b1)
     bh, bl = matmul_fold_scaled(
-        (to_ch(sk_ntt[0]), to_ch(sk_ntt[1])), a_scaled, ring, noise=noise
+        (to_ch(sk_ntt[0]), to_ch(sk_ntt[1])), a_scaled, ring, noise=noise,
+        noise_bound=b1,
     )                                                  # [L, l, p, k]
     if noise is None:
         e1 = sample_uniform_residues_rows(key, row_offset, p, (k, l), b1, ring)

@@ -40,7 +40,8 @@ if TYPE_CHECKING:
 
 def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
                     use_words: bool = False, has_encode: bool = False,
-                    encode32: bool = False, gen_noise: tuple | None = None):
+                    encode32: bool = False, gen_noise: tuple | None = None,
+                    noise_vals: int = 0, in_jr: int = 0):
     """Factory for the fused matmul+fold kernel bodies.
 
     All variants bias each int32 column by +2^31 and accumulate groups of
@@ -82,6 +83,18 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
       the TPU hardware PRNG is deterministic per seed but not a specified
       CSPRNG; set PVW_TPU_NOISE=v3 to keep the threefry stream (slower —
       the threefry draw was ~15% of device time).
+    - ``noise_vals``: > 0 switches the noise MAC to VALUE planes: the
+      scratch holds ``noise_vals`` (= ring degree) int32 noise VALUES per
+      element instead of l*jr int8 digits, contracted against the jr=1
+      scaled-twiddle table. Exact because
+      sum_c 2^(8c) * sum_j v_j * digit_c(fwd[s,j]) = sum_j v_j*fwd[s,j];
+      column magnitude adds l*bound*2^7 (callers guard the int32 headroom
+      — DESIGN.md §5a). Cuts the per-column noise MACs from l*jr to l and
+      removes every in-loop int8->int32 convert (the converts ran once
+      per column before). Bit-identical to the digit-plane MAC.
+    - ``in_jr``: with ``noise_vals`` and an INPUT noise ref (gen_noise
+      None), the digit count of the incoming int8 planes; the kernel
+      composes them into value planes once per (i, j) tile at channel 0.
 
     Ref order: tables [CH, 36] u32 SMEM; (enc_tab [1, 8] u32 SMEM if
     has_encode); (ntab [1, ljr, C] i32 SMEM if has_noise);
@@ -108,7 +121,7 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
                 sc_lo_ref = refs.pop(0)
             else:
                 sc_hi_ref, sc_lo_ref = refs.pop(0), refs.pop(0)
-        if gen_noise is not None:
+        if gen_noise is not None or (has_noise and noise_vals and in_jr):
             out_hi_ref, out_lo_ref, noise_scr = refs
         else:
             out_hi_ref, out_lo_ref = refs
@@ -142,13 +155,29 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
                     c64b = ((s64 == 0).astype(u.U32)) & c32
                     v = h2 + c64a + c64b                  # < 2*bound+1
                     sv = v.astype(jnp.int32) - bound      # [-bound, bound]
-                    if jr == 1:
+                    if noise_vals:
+                        noise_scr[jj] = sv                # value plane
+                    elif jr == 1:
                         noise_scr[jj] = sv.astype(jnp.int8)
                     else:
                         d0 = ((sv + 128) & 255) - 128
                         noise_scr[2 * jj] = d0.astype(jnp.int8)
                         noise_scr[2 * jj + 1] = ((sv - d0) >> 8).astype(
                             jnp.int8)
+            noise_ref = noise_scr
+        elif has_noise and noise_vals and in_jr:
+            # input digit planes -> int32 value planes, once per (i, j)
+            # tile (reused across the channel grid axis)
+            @pl.when(pl.program_id(ch_axis) == 0)
+            def _compose():
+                for jj in range(noise_vals):
+                    if in_jr == 1:
+                        noise_scr[jj] = noise_ref[jj].astype(jnp.int32)
+                    else:
+                        noise_scr[jj] = (
+                            noise_ref[2 * jj].astype(jnp.int32)
+                            + (noise_ref[2 * jj + 1].astype(jnp.int32) << 8)
+                        )
             noise_ref = noise_scr
         C = band_ref.shape[1]
         ng = (C + 3) // 4
@@ -171,13 +200,19 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
                 preferred_element_type=jnp.int32,
             )                                           # [TM, n]
             if has_noise:
-                # int8->int32 convert inside the loop: hoisting ljr int32
-                # planes keeps 4*ljr bytes/elt live across the whole
-                # unrolled C loop and overflows scoped VMEM at deep digit
-                # widths
-                for rr in range(noise_ref.shape[0]):
-                    p_c = p_c + (noise_ref[rr].astype(jnp.int32)
-                                 * ntab_ref[0, rr, c])
+                if noise_vals:
+                    # int32 value planes: l MACs/column, no converts
+                    for rr in range(noise_vals):
+                        p_c = p_c + noise_ref[rr] * ntab_ref[0, rr, c]
+                else:
+                    # int8->int32 convert inside the loop: hoisting ljr
+                    # int32 planes keeps 4*ljr bytes/elt live across the
+                    # whole unrolled C loop and overflows scoped VMEM at
+                    # deep digit widths (the vals path hoists l planes
+                    # instead, guarded by the same VMEM cost model)
+                    for rr in range(noise_ref.shape[0]):
+                        p_c = p_c + (noise_ref[rr].astype(jnp.int32)
+                                     * ntab_ref[0, rr, c])
             uc = (p_c + jnp.int32(-0x80000000)).astype(u.U32)  # bias +2^31
             if r == 0:
                 th, tl = jnp.zeros_like(uc), uc
@@ -385,18 +420,22 @@ def _pick_tiles(m: int, n: int, kd: int, C: int, extra_mn: int = 0):
     return None
 
 
-@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 13))
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 13, 14, 15))
 def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
                                encode, tile_m: int, tile_n: int,
                                interpret: bool, use_words: bool = False,
                                encode32: bool = False, seeds=None,
-                               gen_noise: tuple | None = None):
+                               gen_noise: tuple | None = None,
+                               noise_vals: int = 0, in_jr: int = 0):
     """lhs_dig int8 [CH, m, kd]; band int8 [CH, nd, kd, n]; tables uint32
-    [CH, 36]; ntab int32 [CH, ljr, nd]; noise int8 [ljr, m, n] (or None
-    with ``gen_noise``); post None or pair of uint32 [CH, m, n]; encode
-    None or (sc_hi, sc_lo, enc_tab) with sc_* uint32 [m, n] and enc_tab
-    uint32 [CH, 8]; seeds int32 [4] (key0, key1, row_offset, 0) with
-    ``gen_noise`` = (ldeg, jr, bound) for the in-kernel PRNG noise
+    [CH, 36]; ntab int32 [CH, ljr, nd] (rows = l with ``noise_vals``);
+    noise int8 [ljr, m, n] (or None with ``gen_noise``); post None or
+    pair of uint32 [CH, m, n]; encode None or (sc_hi, sc_lo, enc_tab)
+    with sc_* uint32 [m, n] and enc_tab uint32 [CH, 8]; seeds int32 [4]
+    (key0, key1, row_offset, 0) with ``gen_noise`` = (ldeg, jr, bound)
+    for the in-kernel PRNG noise; ``noise_vals`` > 0 selects the
+    value-plane noise MAC (int32 scratch of that many planes; ``in_jr``
+    = digit count of the incoming planes when ``noise`` is an input)
     -> (hi, lo) uint32 [CH, m, n].
 
     Grid (m-tiles, n-tiles, CH) with CH innermost so the noise/scalar
@@ -406,8 +445,7 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
     ch, m, kd = lhs_dig.shape
     n = band.shape[3]
     C = band.shape[1]
-    ljr = (noise.shape[0] if gen_noise is None
-           else gen_noise[0] * gen_noise[1])
+    ljr = ntab.shape[1]
     has_post = post is not None
     has_encode = encode is not None
     grid = (m // tile_m, n // tile_n, ch)
@@ -433,6 +471,7 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
         pl.BlockSpec((1, ljr, C), lambda i, j, c: (c, 0, 0),
                      memory_space=pltpu.SMEM),
     ]
+    n_in_planes = noise.shape[0] if noise is not None else 0
     operands += [ntab]
     if gen_noise is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # seeds [4]
@@ -446,7 +485,8 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
     operands += [lhs_dig, band]
     if gen_noise is None:
         in_specs.append(
-            pl.BlockSpec((ljr, tile_m, tile_n), lambda i, j, c: (0, i, j),
+            pl.BlockSpec((n_in_planes, tile_m, tile_n),
+                         lambda i, j, c: (0, i, j),
                          memory_space=pltpu.VMEM))
         operands.append(noise)
     if has_post:
@@ -463,11 +503,18 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
         jax.ShapeDtypeStruct((ch, m, n), jnp.uint32),
         jax.ShapeDtypeStruct((ch, m, n), jnp.uint32),
     ]
-    scratch = ([pltpu.VMEM((ljr, tile_m, tile_n), jnp.int8)]
-               if gen_noise is not None else [])
+    if noise_vals:
+        # int32 value planes (generated in-kernel, or composed from the
+        # input digit planes at channel 0 of each (i, j) tile)
+        scratch = [pltpu.VMEM((noise_vals, tile_m, tile_n), jnp.int32)]
+    elif gen_noise is not None:
+        scratch = [pltpu.VMEM((gen_noise[0] * gen_noise[1],
+                               tile_m, tile_n), jnp.int8)]
+    else:
+        scratch = []
     oh, ol = pl.pallas_call(
         _make_fold_body(2, True, has_post, use_words, has_encode, encode32,
-                        gen_noise),
+                        gen_noise, noise_vals, in_jr),
         grid=grid,
         in_specs=in_specs,
         out_specs=[mn_spec(), mn_spec()],
@@ -507,11 +554,35 @@ def _encode_residues_xla(encode, L, S, ring: "RingPlan"):
     return jnp.where(neg, wh, eh), jnp.where(neg, wl, el)
 
 
-def _gen_noise_extra(ljr: int, has_post: bool, has_encode: bool) -> int:
+def _gen_noise_extra(ljr: int, has_post: bool, has_encode: bool,
+                     vals_planes: int = 0) -> int:
     """extra_mn bytes/element for the gen_noise kernel variant: the VMEM
-    noise scratch (ljr int8 planes, single-buffered) + PRNG generation
-    temporaries + the optional post/encode blocks."""
-    return ljr + 24 + (12 if has_post else 0) + (16 if has_encode else 0)
+    noise scratch (ljr int8 planes, or ``vals_planes`` int32 value planes
+    — both single-buffered, so half their byte count here since the cost
+    model doubles every extra_mn byte) + PRNG generation temporaries +
+    the optional post/encode blocks."""
+    scr = 2 * vals_planes if vals_planes else ljr
+    return scr + 24 + (12 if has_post else 0) + (16 if has_encode else 0)
+
+
+def _noise_vals_mode(ring: "RingPlan", k: int, jr: int,
+                     bound: int | None) -> bool:
+    """True when the value-plane noise MAC (``noise_vals``) is exact for
+    this config: the folded column magnitude k*nd*2^14 (matmul digits)
+    plus l*bound*2^7 (int32 noise values contracted against the jr=1
+    scaled-twiddle digit table) must stay within int32 (DESIGN.md §5a).
+    ``bound`` None (input planes of unknown bound) assumes the largest
+    value jr signed-int8 digits can carry. PVW_TPU_NOISE_VALS=0 forces
+    the digit-plane MAC (A/B switch)."""
+    import os
+
+    if os.environ.get("PVW_TPU_NOISE_VALS") == "0":
+        return False
+    if bound is None:
+        bound = 128 * ((256 ** jr) - 1) // 255
+    nd, l = ring.num_digits, ring.degree
+    col = k * nd * (1 << 14) + l * int(bound) * (1 << 7)
+    return col < (1 << 31)
 
 
 def kernel_noise_available(ring: "RingPlan", m: int, n: int, k: int,
@@ -532,7 +603,9 @@ def kernel_noise_available(ring: "RingPlan", m: int, n: int, k: int,
     if not jr:
         return False
     nd = ring.num_digits
-    extra = _gen_noise_extra(ring.degree * jr, has_post, has_encode)
+    vals = _noise_vals_mode(ring, k, jr, bound)
+    extra = _gen_noise_extra(ring.degree * jr, has_post, has_encode,
+                             ring.degree if vals else 0)
     tiles = _pick_tiles(m, n, k * nd, nd, extra)
     if tiles is None:
         return False
@@ -550,7 +623,8 @@ def kernel_noise_available(ring: "RingPlan", m: int, n: int, k: int,
 
 def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
                        post=None, encode=None, lhs_dig=None,
-                       encode32: bool = False, gen_noise=None):
+                       encode32: bool = False, gen_noise=None,
+                       noise_bound=None):
     """Fused modular matmul against a PRESCALED rhs (scaled-digit form).
 
     lhs: pair [L, S, m, k]; rhs_scaled: int8 [L, S, k, n, nd, nd] from
@@ -588,6 +662,12 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
     ``noise``. Callers MUST have checked :func:`kernel_noise_available`;
     this function raises if the Pallas path is unavailable, because the
     XLA fallback cannot reproduce the hardware PRNG stream.
+
+    ``noise_bound``: the true magnitude bound of the noise VALUES behind
+    ``noise`` digit planes; enables the exact value-plane MAC
+    (``noise_vals``, DESIGN.md §5a) when the int32 column headroom
+    allows — bit-identical to the digit-plane MAC, fewer VPU ops.
+    ``gen_noise`` carries its own bound.
     """
     import os
 
@@ -628,15 +708,29 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
             raise RuntimeError("gen_noise requires the TPU Pallas path "
                                "(check kernel_noise_available first)")
         return _xla()
+    # value-plane mode (exact, fewer VPU ops) when the column headroom
+    # allows — see _noise_vals_mode; the scratch/temp VMEM cost differs
+    # so the mode is decided before tile selection
+    if gen_noise is not None:
+        vals = _noise_vals_mode(ring, k, gen_noise[1], gen_noise[2])
+    elif noise is not None and noise.shape[0] >= ring.degree:
+        vals = _noise_vals_mode(ring, k, noise.shape[0] // ring.degree,
+                                noise_bound)
+    else:
+        vals = False
     # extra blocks: noise digits (int8/plane, double-buffered via blocks
     # term) + post pair + encode scalar pair; plus per-plane kernel
     # temporaries (2B/elt each, measured against Mosaic's scoped-vmem
-    # accounting)
+    # accounting). Value-plane mode swaps the int8 scratch for l int32
+    # planes (single-buffered: 2B/elt here, doubled by the cost model).
     if gen_noise is not None:
         extra_mn = _gen_noise_extra(ring.degree * gen_noise[1],
-                                    post is not None, encode is not None)
+                                    post is not None, encode is not None,
+                                    ring.degree if vals else 0)
     else:
-        extra_mn = (0 if noise is None else 3 * noise.shape[0]) \
+        extra_mn = (0 if noise is None else
+                    (noise.shape[0] + 4 * ring.degree if vals
+                     else 3 * noise.shape[0])) \
             + (0 if post is None else 12) \
             + (0 if encode is None else 16)
     tiles = _pick_tiles(m, n, kd, nd, extra_mn)
@@ -670,12 +764,14 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
         return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)
     seeds = None
     gen_static = None
+    n_vals = S if vals else 0
+    in_jr = 0
     if gen_noise is not None:
         seeds, jr, bound = gen_noise
         gen_static = (ring.degree, int(jr), int(bound))
         ntab = jnp.asarray(
-            ring.ntt_scaled_tab(jr), jnp.int32
-        ).reshape(L * S, S * jr, nd)
+            ring.ntt_scaled_tab(1 if vals else jr), jnp.int32
+        ).reshape(L * S, S * (1 if vals else jr), nd)
     elif noise is None:
         # post without noise: a zero one-plane noise input (cost ~0)
         noise = jnp.zeros((1, m, n), jnp.int8)
@@ -684,15 +780,16 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
         jr = noise.shape[0] // ring.degree
         if noise.shape[0] != S * jr:
             raise ValueError("noise digit planes must have l*jr rows")
+        in_jr = jr if vals else 0
         ntab = jnp.asarray(
-            ring.ntt_scaled_tab(jr), jnp.int32
-        ).reshape(L * S, S * jr, nd)
+            ring.ntt_scaled_tab(1 if vals else jr), jnp.int32
+        ).reshape(L * S, S * (1 if vals else jr), nd)
     post_ch = None
     if post is not None:
         post_ch = (post[0].reshape(L * S, m, n), post[1].reshape(L * S, m, n))
     oh, ol = _fused_scaled_noise_matmul(
         ld, r2, tables, ntab, noise, post_ch, encode, tile_m, tile_n, False,
-        ring.fold_words_ok, encode32, seeds, gen_static,
+        ring.fold_words_ok, encode32, seeds, gen_static, n_vals, in_jr,
     )
     return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)
 

@@ -186,7 +186,8 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         if whole_k and g1 is None:
             n1 = _noise_planes(k_e1, 0, k, params.error_bound_1)
         c1p_ch = matmul_fold_scaled(
-            None, r_scaled, ring, noise=n1, gen_noise=g1, lhs_dig=a_dig
+            None, r_scaled, ring, noise=n1, gen_noise=g1, lhs_dig=a_dig,
+            noise_bound=params.error_bound_1,
         )
         c1p = (from_ch(c1p_ch[0]), from_ch(c1p_ch[1]))
         if n1 is None and kd > 1:
@@ -212,6 +213,7 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         c2p_ch = matmul_fold_scaled(
             None, r_scaled, ring, noise=n2, gen_noise=g2,
             encode=enc_k if whole_k else None, lhs_dig=b_dig,
+            noise_bound=params.error_bound_2,
         )
         c2p = (from_ch(c2p_ch[0]), from_ch(c2p_ch[1]))
         # kdim > 1: split the per-receiver-block e2 + encode work across

@@ -295,6 +295,51 @@ class TestMatmul:
                 np.asarray(ol).reshape(L, S, m, n), np.asarray(refl)
             )
 
+    @pytest.mark.parametrize("moduli,bound", [(MODULI, 50),
+                                              (BIG_MODULI, 2000)])
+    def test_noise_value_planes_exact(self, moduli, bound):
+        """The value-plane noise MAC (noise_vals: int32 noise values
+        against the jr=1 scaled-twiddle table, composed in-kernel from
+        the input digit planes) must be bit-identical to the digit-plane
+        MAC — same algebra, fewer VPU ops (DESIGN.md §5a)."""
+        from pvw_tpu.ops import ntt as ntt_ops
+        from pvw_tpu.ops import pallas_modmat as pm
+
+        ring = RingPlan(moduli, 8)
+        L, l, nd = ring.num_limbs, ring.degree, ring.num_digits
+        S, m, k, n = l, 8, 6, 4
+        rng = np.random.default_rng(11)
+        qs = np.array(moduli, np.uint64).reshape(L, 1, 1, 1)
+        a = (rand_u64((L, S, m, k)) % qs).astype(np.uint64)
+        b = (rand_u64((L, S, k, n)) % qs).astype(np.uint64)
+        pa, pb = pairs(a), pairs(b)
+        rs = modmat.prescale_digits(pb, ring)
+        ev = rng.integers(-bound, bound + 1, (m, n, l)).astype(np.int32)
+        jr = ntt_ops.signed_digit_count(bound)
+        dig = ntt_ops._signed_digits(jnp.asarray(ev), jr)
+        planes = jnp.transpose(dig, (2, 3, 0, 1)).reshape(l * jr, m, n)
+        assert pm._noise_vals_mode(ring, k, jr, bound)
+        # reference: the digit-plane XLA path (itself pinned against
+        # NTT-then-addmod by test_noise_fused_matmul_exact)
+        refh, refl = pm.matmul_fold_scaled(pa, rs, ring, noise=planes)
+        ld = modmat.digits(pa[0], pa[1], nd).reshape(L * S, m, k * nd)
+        r2 = pm._build_rhs_scaled(np.asarray(rs).reshape(L * S, k, n, nd, nd))
+        tables = jnp.repeat(jnp.asarray(pm._pack_tables(ring, nd)), S, axis=0)
+        ntab1 = jnp.asarray(
+            ring.ntt_scaled_tab(1), jnp.int32
+        ).reshape(L * S, l, nd)
+        for use_words in (False, ring.fold_words_ok):
+            oh, ol = pm._fused_scaled_noise_matmul(
+                ld, jnp.asarray(r2), tables, ntab1, planes, None, None,
+                8, 4, True, use_words, False, None, None, l, jr,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(oh).reshape(L, S, m, n), np.asarray(refh)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ol).reshape(L, S, m, n), np.asarray(refl)
+            )
+
     @pytest.mark.parametrize("moduli", [MODULI, BIG_MODULI])
     def test_in_kernel_encode_exact(self, moduli):
         """The in-kernel gadget encode (scalar tile + per-channel g/wrap
