@@ -188,9 +188,11 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
     ql4 = jnp.asarray(ring.q_lo).reshape(L, 1, 1, 1)
 
     # r is the shared rhs of both products: prescale its digits ONCE
-    # (scaled-digit form, see ops/modmat.prescale_digits) so each matmul
-    # contracts over (k, nd) and folds only nd narrow columns.
-    r_scaled = modmat.prescale_digits(r_ch, ring)       # [L,l,k,d,nd,nd]
+    # (scaled-digit form, see ops/modmat.prescale_digits_band) so each
+    # matmul contracts over (k, nd) and folds only nd narrow columns; the
+    # band layout is the kernel's native rhs layout — no ~100 MB digit
+    # transpose per call (benchmarks/probe_rstage.py).
+    r_scaled = modmat.prescale_digits_band(r_ch, ring)  # [L,l,nd,k*nd,d]
 
     # c1 = A·r + e1                                      (encryption.rs:156-173)
     g1 = _gen_noise(k_e1, k, params.error_bound_1, False, False)

@@ -61,7 +61,7 @@ def _batch_keygen_kernel(params: PvwParameters, a_hi, a_lo, coeffs, key,
             modmat.from_signed_coeffs(coeffs, ring), ring
         )
     to_ch = lambda x: jnp.transpose(x, (2, 3, 0, 1))
-    a_scaled = modmat.prescale_digits((to_ch(a_hi), to_ch(a_lo)), ring)
+    a_scaled = modmat.prescale_digits_band((to_ch(a_hi), to_ch(a_lo)), ring)
     b1 = params.error_bound_1
     noise = ntt_ops.noise_digit_planes(key, row_offset, p, k, l, b1)
     bh, bl = matmul_fold_scaled(

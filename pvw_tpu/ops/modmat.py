@@ -248,6 +248,46 @@ def prescale_digits(rhs, ring: "RingPlan"):
     return jnp.stack(outs, axis=-2)              # [L, S, k, n, nd(i), nd(j)]
 
 
+def prescale_digits_band(rhs, ring: "RingPlan"):
+    """:func:`prescale_digits` emitted directly in the fused kernel's
+    band layout: int8 [L, S, nd(j), k*nd(i), n].
+
+    Same values as ``_build_rhs_scaled(prescale_digits(rhs))`` (tested),
+    but every axis insertion happens ABOVE the minor n axis, so no
+    lane-crossing transpose of the ~100 MB digit tensor is ever
+    materialized — on TPU that transpose was the dominant cost of the
+    per-encryption r-stage (benchmarks/probe_rstage.py).
+    """
+    rh, rl = rhs
+    L = rh.shape[0]
+    nd = ring.num_digits
+    sh = lambda a: a.reshape((L,) + (1,) * (rh.ndim - 1))
+    qh, ql = sh(jnp.asarray(ring.q_hi)), sh(jnp.asarray(ring.q_lo))
+    # digs[i][j]: digit j of b * 2^(8i) mod q, each [L, S, k, n]
+    digs = []
+    for i in range(nd):
+        if i == 0:
+            th, tl = rh, rl
+        else:
+            th, tl = u.shoup_mul64_arr(
+                rh, rl,
+                sh(jnp.asarray(ring.pow_hi[:, i])),
+                sh(jnp.asarray(ring.pow_lo[:, i])),
+                sh(jnp.asarray(ring.pow_s64_hi[:, i])),
+                sh(jnp.asarray(ring.pow_s64_lo[:, i])),
+                qh, ql,
+            )
+        digs.append(u.to_signed_digit_list(th, tl, nd))
+    # [L, S, k, nd(i), n] per j, then stack j ABOVE k
+    per_j = [
+        jnp.stack([digs[i][j] for i in range(nd)], axis=-2)
+        for j in range(nd)
+    ]
+    band = jnp.stack(per_j, axis=2)              # [L, S, nd(j), k, nd(i), n]
+    Ld, S, _, k, _, n = band.shape
+    return band.reshape(Ld, S, nd, k * nd, n)
+
+
 @partial(jax.jit, static_argnums=(2,))
 def lhs_digit_planes(hi, lo, ring: "RingPlan"):
     """Canonical poly-layout pair [m, k, L, l] -> channel-major int8 digit

@@ -41,7 +41,8 @@ if TYPE_CHECKING:
 def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
                     use_words: bool = False, has_encode: bool = False,
                     encode32: bool = False, gen_noise: tuple | None = None,
-                    noise_vals: int = 0, in_jr: int = 0):
+                    noise_vals: int = 0, in_jr: int = 0,
+                    dots_first: bool = False):
     """Factory for the fused matmul+fold kernel bodies.
 
     All variants bias each int32 column by +2^31 and accumulate groups of
@@ -192,9 +193,21 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
         gl_acc = jnp.zeros((tm, n), u.U32)
         prev_gh = None   # word fold: high half of the previous group
         carry = None     # word fold: carry bit of the previous word add
+        dots = None
+        if dots_first:
+            # issue every MXU contraction before any VPU fold work so the
+            # scheduler can overlap the fold of column c with the dot of
+            # column c+1 (bit-identical: pure reordering)
+            dots = [
+                jax.lax.dot_general(
+                    lhs, band_ref[0, c],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ) for c in range(C)
+            ]
         for c in range(C):
             g, r = divmod(c, 4)
-            p_c = jax.lax.dot_general(
+            p_c = dots[c] if dots_first else jax.lax.dot_general(
                 lhs, band_ref[0, c],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
@@ -420,13 +433,14 @@ def _pick_tiles(m: int, n: int, kd: int, C: int, extra_mn: int = 0):
     return None
 
 
-@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 13, 14, 15))
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 13, 14, 15, 16))
 def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
                                encode, tile_m: int, tile_n: int,
                                interpret: bool, use_words: bool = False,
                                encode32: bool = False, seeds=None,
                                gen_noise: tuple | None = None,
-                               noise_vals: int = 0, in_jr: int = 0):
+                               noise_vals: int = 0, in_jr: int = 0,
+                               dots_first: bool = False):
     """lhs_dig int8 [CH, m, kd]; band int8 [CH, nd, kd, n]; tables uint32
     [CH, 36]; ntab int32 [CH, ljr, nd] (rows = l with ``noise_vals``);
     noise int8 [ljr, m, n] (or None with ``gen_noise``); post None or
@@ -514,7 +528,7 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
         scratch = []
     oh, ol = pl.pallas_call(
         _make_fold_body(2, True, has_post, use_words, has_encode, encode32,
-                        gen_noise, noise_vals, in_jr),
+                        gen_noise, noise_vals, in_jr, dots_first),
         grid=grid,
         in_specs=in_specs,
         out_specs=[mn_spec(), mn_spec()],
@@ -681,7 +695,11 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
         lh, ll = lhs
         L, S, m, k = lh.shape
         kd = k * nd
-    n = rhs_scaled.shape[3]
+    # rhs layouts: 6D [L, S, k, n, nd(i), nd(j)] from prescale_digits, or
+    # 5D band [L, S, nd(j), k*nd(i), n] from prescale_digits_band (the
+    # kernel's native layout — no transpose on the hot path)
+    is_band = rhs_scaled.ndim == 5
+    n = rhs_scaled.shape[4] if is_band else rhs_scaled.shape[3]
     if gen_noise is not None and noise is not None:
         raise ValueError("gen_noise and noise are mutually exclusive")
     if (noise is not None or gen_noise is not None) and S != ring.degree:
@@ -689,7 +707,14 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
                          "to be the NTT point axis (S == ring.degree)")
 
     def _xla():
-        cols = modmat.scaled_cols(lhs, rhs_scaled, ring, lhs_dig=lhs_dig)
+        if is_band:
+            rs6 = jnp.transpose(
+                rhs_scaled.reshape(L, S, nd, k, nd, n),
+                (0, 1, 3, 5, 4, 2),
+            )                                    # [L, S, k, n, nd(i), nd(j)]
+        else:
+            rs6 = rhs_scaled
+        cols = modmat.scaled_cols(lhs, rs6, ring, lhs_dig=lhs_dig)
         if noise is not None:
             cols = cols + _noise_cols_xla(noise, ring)
         oh, ol = modmat._fold_leading(cols, ring)
@@ -756,7 +781,8 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
         return _xla()
     ld = (lhs_dig.reshape(L * S, m, kd) if lhs_dig is not None
           else modmat.digits(lh, ll, nd).reshape(L * S, m, kd))
-    r2 = _build_rhs_scaled(rhs_scaled.reshape(L * S, k, n, nd, nd))
+    r2 = (rhs_scaled.reshape(L * S, nd, kd, n) if is_band
+          else _build_rhs_scaled(rhs_scaled.reshape(L * S, k, n, nd, nd)))
     tables = jnp.repeat(jnp.asarray(_pack_tables(ring, nd)), S, axis=0)
     if noise is None and gen_noise is None and post is None and encode is None:
         oh, ol = _fused_banded_matmul(ld, r2, tables, tile_m, tile_n, False,
@@ -787,9 +813,11 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
     post_ch = None
     if post is not None:
         post_ch = (post[0].reshape(L * S, m, n), post[1].reshape(L * S, m, n))
+    dots_first = os.environ.get("PVW_TPU_DOTS_FIRST", "0") == "1"
     oh, ol = _fused_scaled_noise_matmul(
         ld, r2, tables, ntab, noise, post_ch, encode, tile_m, tile_n, False,
         ring.fold_words_ok, encode32, seeds, gen_static, n_vals, in_jr,
+        dots_first,
     )
     return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)
 

@@ -285,6 +285,14 @@ def to_signed_digits(hi, lo, nd: int = NUM_DIGITS):
     The balanced form lets the digit matmuls run as int8 MXU contractions
     with int32 accumulators and no zero-point correction terms.
     """
+    return jnp.stack(to_signed_digit_list(hi, lo, nd), axis=-1)
+
+
+def to_signed_digit_list(hi, lo, nd: int = NUM_DIGITS) -> list:
+    """:func:`to_signed_digits` as a LIST of per-digit int8 planes (each
+    the input shape) instead of a stacked minor axis — callers that need
+    a different digit-axis position can place the planes without a
+    lane-crossing transpose of the stacked tensor."""
     words = [lo, hi]
     raw = []
     for w in words:
@@ -301,7 +309,7 @@ def to_signed_digits(hi, lo, nd: int = NUM_DIGITS):
         carry = big.astype(jnp.int32)
     # For in-range values (see digits_for_max) the top digit is <= 127
     # after the carry, so the final carry is provably zero.
-    return jnp.stack(out, axis=-1)
+    return out
 
 
 def fold_columns_grouped(cols, grp_wh, grp_wl, grp_sh, grp_sl, bias_h, bias_l,

@@ -149,7 +149,7 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         )
         # prescale the local r block once; both local products reuse it
         # (same fused Pallas kernel as the single-device path)
-        r_scaled = modmat.prescale_digits(
+        r_scaled = modmat.prescale_digits_band(
             (to_ch(rb_hi), to_ch(rb_lo)), ring
         )
         whole_k = kd == 1  # contraction local -> noise/encode can fuse

@@ -295,6 +295,39 @@ class TestMatmul:
                 np.asarray(ol).reshape(L, S, m, n), np.asarray(refl)
             )
 
+    @pytest.mark.parametrize("moduli", [MODULI, BIG_MODULI])
+    def test_prescale_band_layout(self, moduli):
+        """prescale_digits_band must equal the transpose-built band of
+        prescale_digits value-for-value, and matmul_fold_scaled must
+        accept either layout with bit-identical results (incl. noise)."""
+        from pvw_tpu.ops import ntt as ntt_ops
+        from pvw_tpu.ops import pallas_modmat as pm
+
+        ring = RingPlan(moduli, 8)
+        L, l, nd = ring.num_limbs, ring.degree, ring.num_digits
+        S, m, k, n = l, 8, 6, 4
+        rng = np.random.default_rng(5)
+        qs = np.array(moduli, np.uint64).reshape(L, 1, 1, 1)
+        a = (rand_u64((L, S, m, k)) % qs).astype(np.uint64)
+        b = (rand_u64((L, S, k, n)) % qs).astype(np.uint64)
+        pa, pb = pairs(a), pairs(b)
+        rs6 = modmat.prescale_digits(pb, ring)
+        band = modmat.prescale_digits_band(pb, ring)
+        ref_band = pm._build_rhs_scaled(
+            np.asarray(rs6).reshape(L * S, k, n, nd, nd)
+        ).reshape(L, S, nd, k * nd, n)
+        np.testing.assert_array_equal(np.asarray(band), np.asarray(ref_band))
+        # XLA fallback path parity on both layouts (+ noise planes)
+        bound = 50
+        ev = rng.integers(-bound, bound + 1, (m, n, l)).astype(np.int32)
+        jr = ntt_ops.signed_digit_count(bound)
+        dig = ntt_ops._signed_digits(jnp.asarray(ev), jr)
+        planes = jnp.transpose(dig, (2, 3, 0, 1)).reshape(l * jr, m, n)
+        r6 = pm.matmul_fold_scaled(pa, rs6, ring, noise=planes)
+        rb = pm.matmul_fold_scaled(pa, band, ring, noise=planes)
+        np.testing.assert_array_equal(np.asarray(r6[0]), np.asarray(rb[0]))
+        np.testing.assert_array_equal(np.asarray(r6[1]), np.asarray(rb[1]))
+
     @pytest.mark.parametrize("moduli,bound", [(MODULI, 50),
                                               (BIG_MODULI, 2000)])
     def test_noise_value_planes_exact(self, moduli, bound):
