@@ -131,11 +131,9 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
     # coefficients [k, d, l] -> NTT via the small-coefficient path (CBD
     # values fit one signed digit)                       (encryption.rs:132-154)
     r_coeffs = sample_vec_cbd_rows(k_r, 0, k, (d, l), params.secret_variance)
-    r_ntt = ntt_ops.ntt_forward_signed(
+    r_ch = ntt_ops.ntt_forward_signed_ch(
         r_coeffs, ring, cbd_bound(params.secret_variance)
-    )
-    r_ch = (jnp.transpose(r_ntt[0], (2, 3, 0, 1)),              # [L, l, k, d]
-            jnp.transpose(r_ntt[1], (2, 3, 0, 1)))
+    )                                                           # [L, l, k, d]
 
     # Structure, measured on v5e (benchmarks/ablate_encrypt.py + probes):
     # both matrix products run through the fused Pallas matmul+fold on

@@ -55,18 +55,19 @@ def _batch_keygen_kernel(params: PvwParameters, a_hi, a_lo, coeffs, key,
     L, l, k = ring.num_limbs, ring.degree, params.k
     p = coeffs.shape[0]
     if ntt_ops.signed_digit_count(coeff_bound):
-        sk_ntt = ntt_ops.ntt_forward_signed(coeffs, ring, coeff_bound)
+        sk_ch = ntt_ops.ntt_forward_signed_ch(coeffs, ring, coeff_bound)
     else:
         sk_ntt = ntt_ops.ntt_forward(
             modmat.from_signed_coeffs(coeffs, ring), ring
         )
+        sk_ch = (jnp.transpose(sk_ntt[0], (2, 3, 0, 1)),
+                 jnp.transpose(sk_ntt[1], (2, 3, 0, 1)))
     to_ch = lambda x: jnp.transpose(x, (2, 3, 0, 1))
     a_scaled = modmat.prescale_digits_band((to_ch(a_hi), to_ch(a_lo)), ring)
     b1 = params.error_bound_1
     noise = ntt_ops.noise_digit_planes(key, row_offset, p, k, l, b1)
     bh, bl = matmul_fold_scaled(
-        (to_ch(sk_ntt[0]), to_ch(sk_ntt[1])), a_scaled, ring, noise=noise,
-        noise_bound=b1,
+        sk_ch, a_scaled, ring, noise=noise, noise_bound=b1,
     )                                                  # [L, l, p, k]
     if noise is None:
         e1 = sample_uniform_residues_rows(key, row_offset, p, (k, l), b1, ring)

@@ -182,3 +182,17 @@ def ntt_forward_signed(coeffs, ring: "RingPlan", max_abs: int):
     oh = jnp.moveaxis(oh, -1, 0).reshape(batch_shape + (L, l))
     ol = jnp.moveaxis(ol, -1, 0).reshape(batch_shape + (L, l))
     return oh, ol
+
+
+def ntt_forward_signed_ch(coeffs, ring: "RingPlan", max_abs: int):
+    """:func:`ntt_forward_signed` emitted CHANNEL-MAJOR: signed
+    coefficients [..., l] -> Ntt residue pairs [L, l, ...]. The fold
+    output is already [L, l, B]; this skips the moveaxis to batch-major
+    that callers on the kernel path (whose operands are channel-major,
+    DESIGN.md §5d) would immediately transpose back. Bit-identical
+    values to ``transpose(ntt_forward_signed(...))`` (tested)."""
+    cols, batch_shape = ntt_forward_cols_signed(coeffs, ring, max_abs)
+    L, l = ring.num_limbs, ring.degree
+    oh, ol = _fold_leading(cols, ring)                     # [L, l, B]
+    return (oh.reshape((L, l) + batch_shape),
+            ol.reshape((L, l) + batch_shape))

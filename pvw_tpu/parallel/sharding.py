@@ -144,14 +144,12 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         r_coeffs = sample_vec_cbd_rows(
             k_r, my_k * kc, kc, (d, l), params.secret_variance
         )                                                      # [kc, d, l]
-        rb_hi, rb_lo = ntt_ops.ntt_forward_signed(
+        rb_ch = ntt_ops.ntt_forward_signed_ch(
             r_coeffs, ring, cbd_bound(params.secret_variance)
-        )
+        )                                                      # [L, l, kc, d]
         # prescale the local r block once; both local products reuse it
         # (same fused Pallas kernel as the single-device path)
-        r_scaled = modmat.prescale_digits_band(
-            (to_ch(rb_hi), to_ch(rb_lo)), ring
-        )
+        r_scaled = modmat.prescale_digits_band(rb_ch, ring)
         whole_k = kd == 1  # contraction local -> noise/encode can fuse
 
         # encode of the local scalars (sc sharded over recv on axis 1):

@@ -118,6 +118,18 @@ class TestSignedCoefficientPath:
         got = ntt.ntt_forward_signed(coeffs, ring, bound)
         np.testing.assert_array_equal(ints(got), ints(want))
 
+    @pytest.mark.parametrize("moduli", [MODULI, BIG])
+    def test_channel_major_variant(self, moduli):
+        """ntt_forward_signed_ch must equal the batch-major variant
+        transposed to channel-major, for multi-dim batch shapes."""
+        ring = RingPlan(moduli, 8)
+        vals = RNG.integers(-127, 128, size=(3, 5, 8)).astype(np.int32)
+        coeffs = jnp.asarray(vals)
+        want = ntt.ntt_forward_signed(coeffs, ring, 127)   # [3, 5, L, l]
+        got = ntt.ntt_forward_signed_ch(coeffs, ring, 127)  # [L, l, 3, 5]
+        got_bm = tuple(jnp.transpose(g, (2, 3, 0, 1)) for g in got)
+        np.testing.assert_array_equal(ints(got_bm), ints(want))
+
     def test_digit_count_thresholds(self):
         assert ntt.signed_digit_count(127) == 1
         assert ntt.signed_digit_count(128) == 2
