@@ -617,9 +617,10 @@ def kernel_noise_available(ring: "RingPlan", m: int, n: int, k: int,
     if not jr:
         return False
     nd = ring.num_digits
-    vals = _noise_vals_mode(ring, k, jr, bound)
-    extra = _gen_noise_extra(ring.degree * jr, has_post, has_encode,
-                             ring.degree if vals else 0)
+    # availability uses the digit-mode VMEM cost (never larger than the
+    # value-plane cost; matmul_fold_scaled falls back to digit mode when
+    # value planes would shrink the tile)
+    extra = _gen_noise_extra(ring.degree * jr, has_post, has_encode)
     tiles = _pick_tiles(m, n, k * nd, nd, extra)
     if tiles is None:
         return False
@@ -743,21 +744,32 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
                                 noise_bound)
     else:
         vals = False
+
     # extra blocks: noise digits (int8/plane, double-buffered via blocks
     # term) + post pair + encode scalar pair; plus per-plane kernel
     # temporaries (2B/elt each, measured against Mosaic's scoped-vmem
     # accounting). Value-plane mode swaps the int8 scratch for l int32
     # planes (single-buffered: 2B/elt here, doubled by the cost model).
-    if gen_noise is not None:
-        extra_mn = _gen_noise_extra(ring.degree * gen_noise[1],
+    def _extra(v: bool) -> int:
+        if gen_noise is not None:
+            return _gen_noise_extra(ring.degree * gen_noise[1],
                                     post is not None, encode is not None,
-                                    ring.degree if vals else 0)
-    else:
-        extra_mn = (0 if noise is None else
-                    (noise.shape[0] + 4 * ring.degree if vals
-                     else 3 * noise.shape[0])) \
+                                    ring.degree if v else 0)
+        return (0 if noise is None else
+                (noise.shape[0] + 4 * ring.degree if v
+                 else 3 * noise.shape[0])) \
             + (0 if post is None else 12) \
             + (0 if encode is None else 16)
+
+    if vals:
+        # never let the larger int32 scratch shrink the tile: the MAC
+        # saving (biggest at jr=2) cannot pay for worse operand reuse
+        tv, td = _pick_tiles(m, n, kd, nd, _extra(True)), \
+            _pick_tiles(m, n, kd, nd, _extra(False))
+        if tv is None or (td is not None
+                          and tv[0] * tv[1] < td[0] * td[1]):
+            vals = False
+    extra_mn = _extra(vals)
     tiles = _pick_tiles(m, n, kd, nd, extra_mn)
     if tiles is None:
         if gen_noise is not None:
