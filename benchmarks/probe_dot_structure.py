@@ -131,6 +131,44 @@ def main():
             out_shape=jax.ShapeDtypeStruct((CH, N, D), jnp.int32),
         )(a, b)
 
+    # 2c. Pallas wide-dot: rhs pre-interleaved so each grid step loads ONE
+    # contiguous [kd, nd*TN] tile and runs a single 2D dot — the same dot
+    # shape XLA's floor uses — with lane-aligned TN-slices in the epilogue.
+    # (Distinct from 2b: no 3D rhs block, no lane-axis gather; the nd
+    # digit columns for one output tile are adjacent TN-wide blocks.)
+    band_w = (
+        band.reshape(CH, nd, kd, D // TN, TN)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(CH, kd, (D // TN) * nd * TN)
+    )
+    band_w = _sync(jax.jit(lambda x: x + 0)(band_w))
+
+    def body_wide(lhs_ref, band_ref, out_ref):
+        p = jax.lax.dot_general(
+            lhs_ref[0], band_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)          # [TM, nd*TN]
+        acc = None
+        for c in range(nd):
+            pc = p[:, c * TN:(c + 1) * TN]
+            acc = pc if acc is None else acc + (pc >> (c + 1))
+        out_ref[0] = acc
+
+    @jax.jit
+    def pallas_wide_dot(a, b):
+        return pl.pallas_call(
+            body_wide,
+            grid=(N // TM, D // TN, CH),
+            in_specs=[
+                pl.BlockSpec((1, TM, kd), lambda i, j, c: (c, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kd, nd * TN), lambda i, j, c: (c, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, TM, TN), lambda i, j, c: (c, i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((CH, N, D), jnp.int32),
+        )(a, b)
+
     macs = CH * N * kd * nd * D
     t1 = bench("XLA one-dot floor", xla_dot, ld, r2_flat)
     print(f"    -> {macs / t1 / 1e12:.1f} T MAC/s", flush=True)
@@ -142,6 +180,13 @@ def main():
         print(f"    -> {macs / t2b / 1e12:.1f} T MAC/s", flush=True)
     except Exception as e:
         print(f"one-dot variant failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    try:
+        t2c = bench("Pallas wide-dot + TN-slice epilogue", pallas_wide_dot,
+                    ld, band_w)
+        print(f"    -> {macs / t2c / 1e12:.1f} T MAC/s", flush=True)
+    except Exception as e:
+        print(f"wide-dot variant failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
 
