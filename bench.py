@@ -36,8 +36,10 @@ MODULI = (0xFFFFC4001, 0x1FFFFE0001)
 # Measured-best dispatch size on v5e: enc/s at batch 1024/2048/4096 =
 # 56016/64804/67499 (benchmarks/time_encrypt.py sweep) — the ~4.6 ms
 # per-dispatch host gap amortizes with batch. Small batches additionally
-# trip pathologically slow XLA schedules for this shape.
-BATCH = 4096
+# trip pathologically slow XLA schedules for this shape. Batch 8192 beats
+# 4096 by +4% same-session (115119 vs 110666 enc/s, round 2) — the
+# deeper pipeline amortizes the residual host gap further.
+BATCH = 8192
 
 
 def log(*a):
