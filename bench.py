@@ -38,8 +38,20 @@ MODULI = (0xFFFFC4001, 0x1FFFFE0001)
 # per-dispatch host gap amortizes with batch. Small batches additionally
 # trip pathologically slow XLA schedules for this shape. Batch 8192 beats
 # 4096 by +4% same-session (115119 vs 110666 enc/s, round 2) — the
-# deeper pipeline amortizes the residual host gap further.
+# deeper pipeline amortizes the residual host gap further. The 8192
+# default applies to the HEADLINE shape only; presets default to their
+# own measured-best batches (BASELINE.md rows) so `--preset X` without
+# --batch reproduces the documented configuration.
 BATCH = 8192
+PRESET_BATCH = {
+    "pvss_8192": 2048,
+    "shares_n1024": 512,
+    "threshold_256bit": 512,
+    "broadcast_128bit": 64,
+    "secure_128_reference": 64,
+    "toy": 1024,
+    "vector_k256": 1024,
+}
 
 
 def log(*a):
@@ -53,12 +65,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--receivers", type=int, default=N_RECEIVERS)
     ap.add_argument("--dimension", type=int, default=K_DIM)
-    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="dispatch batch (default: measured-best for the "
+                         "preset/headline shape)")
     ap.add_argument("--preset", type=str, default=None,
                     help="use a named preset from pvw_tpu.params.presets "
                          "(overrides --receivers/--dimension)")
     args = ap.parse_args()
-    N_RECEIVERS, K_DIM, BATCH = args.receivers, args.dimension, args.batch
+    N_RECEIVERS, K_DIM = args.receivers, args.dimension
+    if args.batch is not None:
+        BATCH = args.batch
+    elif args.preset:
+        BATCH = PRESET_BATCH.get(args.preset, 1024)
 
     import jax
 

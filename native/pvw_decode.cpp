@@ -397,5 +397,87 @@ int pvw_decode_batch(const uint64_t *residues, int64_t count, int32_t L,
     return 0;
 }
 
-int pvw_decode_version() { return 1; }
+// Full host decrypt for latency-sensitive small batches: z = <s, c1> - c2
+// (pointwise NTT-domain contraction over k, per limb), inverse NTT (the
+// ring plan's [l, l] matrix, 1/l factor included), then the sequential-
+// rounding decode — the whole of decryption.rs:249-278 without touching
+// the accelerator. Routed to by pvw_tpu.crypto.decryption when the batch
+// is below the device-dispatch crossover (BASELINE.md "adaptive decode
+// routing").
+//
+// Layouts (row-major, innermost contiguous):
+//   sk      [k, L, ell]   NTT-domain residues
+//   c1      [d, k, L, ell]
+//   c2      [d, L, ell]
+//   ntt_inv [L, ell, ell]
+int pvw_decrypt_decode_batch(
+    const uint64_t *sk, const uint64_t *c1, const uint64_t *c2,
+    int64_t d, int32_t k, int32_t L, int32_t ell, const uint64_t *moduli,
+    const uint64_t *ntt_inv, const uint64_t *qhat_inv,
+    const uint64_t *qhat_words, const uint64_t *q_words,
+    const uint64_t *dpow_words, int32_t nw, uint64_t delta, uint64_t *out) {
+    if (nw > MAX_NW || ell > 64 || delta >= (1ull << 63) || L > 64)
+        return 1;
+    for (int i = 0; i < L; ++i)
+        if (moduli[i] >= (1ull << 62)) return 1;  // lazy-accumulator budget
+    DecodeCtx c;
+    c.L = L;
+    c.ell = ell;
+    c.moduli = moduli;
+    c.qhat_inv = qhat_inv;
+    c.qhat_words = qhat_words;
+    c.nw_in = nw;
+    big_zero(c.q);
+    big_zero(c.dpow);
+    for (int i = 0; i < nw; ++i) {
+        c.q.w[i] = q_words[i];
+        c.dpow.w[i] = dpow_words[i];
+    }
+    c.half_q = c.q;
+    mag_shr1(c.half_q);
+    c.half_dpow = c.dpow;
+    mag_shr1(c.half_dpow);
+    c.delta = delta;
+
+    const size_t Ll = (size_t)L * ell;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (d > 1)
+#endif
+    for (int64_t dd = 0; dd < d; ++dd) {
+        uint64_t z[64 * 64];   // [L, ell] NTT-domain noisy message
+        uint64_t pb[64 * 64];  // [L, ell] PowerBasis residues
+        const uint64_t *c1d = c1 + (size_t)dd * k * Ll;
+        const uint64_t *c2d = c2 + (size_t)dd * Ll;
+        for (int i = 0; i < L; ++i) {
+            const uint64_t q = moduli[i];
+            for (int j = 0; j < ell; ++j) {
+                const size_t x = (size_t)i * ell + j;
+                // products < 2^124 (q < 2^62): reduce every 8 adds
+                unsigned __int128 acc = 0;
+                for (int kk = 0; kk < k; ++kk) {
+                    acc += (unsigned __int128)sk[(size_t)kk * Ll + x] *
+                           c1d[(size_t)kk * Ll + x];
+                    if ((kk & 7) == 7) acc %= q;
+                }
+                uint64_t zz = (uint64_t)(acc % q);
+                z[x] = (zz + q - c2d[x]) % q;
+            }
+            // inverse NTT: pb[j2] = sum_j inv[j2, j] * z[j] mod q
+            const uint64_t *inv = ntt_inv + (size_t)i * ell * ell;
+            for (int j2 = 0; j2 < ell; ++j2) {
+                unsigned __int128 acc = 0;
+                for (int j = 0; j < ell; ++j) {
+                    acc += (unsigned __int128)inv[(size_t)j2 * ell + j] *
+                           z[(size_t)i * ell + j];
+                    if ((j & 7) == 7) acc %= q;
+                }
+                pb[(size_t)i * ell + j2] = (uint64_t)(acc % q);
+            }
+        }
+        out[dd] = decode_one(c, pb);
+    }
+    return 0;
+}
+
+int pvw_decode_version() { return 2; }
 }

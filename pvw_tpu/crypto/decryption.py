@@ -109,16 +109,64 @@ def _decrypt_decode_kernel_ch(params: PvwParameters, sk_hi, sk_lo,
     return device_decode.decode_residues(plan, z[0], z[1])
 
 
-def _decode_mode(params: PvwParameters) -> str:
-    """Decode engine selection: ``PVW_TPU_DECODE`` in {device, native,
-    python}; default is the on-device decode whenever the parameter set
-    supports it (all practical sets do — Δ ≥ 2)."""
+# Measured device/host crossover for the DEFAULT routing (BASELINE.md
+# "adaptive decode routing"): a single-message device dispatch costs
+# ~559 µs pipelined / ~25 ms synced over the tunnel, while the full host
+# path (native contraction + inverse NTT + decode) runs in tens of µs —
+# so batches below this size decrypt on the host when the native engine
+# supports the parameter set. Override with PVW_TPU_DECODE_CROSSOVER.
+_HOST_CROSSOVER = 64
+
+
+def _host_crossover() -> int:
     import os
 
-    mode = os.environ.get("PVW_TPU_DECODE", "device")
+    return int(os.environ.get("PVW_TPU_DECODE_CROSSOVER", _HOST_CROSSOVER))
+
+
+def _decode_mode(params: PvwParameters, d: int | None = None) -> str:
+    """Decode engine selection: ``PVW_TPU_DECODE`` in {auto, device, host,
+    native, python}. ``auto`` (the default) routes batches smaller than
+    the measured crossover (~64 messages) to the full HOST path — native
+    C++ contraction + inverse NTT + decode, no accelerator dispatch
+    (``decryption.rs:249-278``) — and everything else to the fused
+    on-device decode. Explicit modes: ``device`` (always on-device),
+    ``host`` (full host decrypt), ``native`` (device contraction + native
+    host decode), ``python`` (device contraction + Python oracle)."""
+    import os
+
+    from ..utils import native_decode
+
+    no_native = bool(os.environ.get("PVW_TPU_NO_NATIVE"))
+    mode = os.environ.get("PVW_TPU_DECODE", "auto")
+    if mode == "auto":
+        if (d is not None and d < _host_crossover() and not no_native
+                and native_decode.decrypt_decode_supported(params)):
+            return "host"
+        mode = "device"
+    if mode == "host" and (
+            no_native or not native_decode.decrypt_decode_supported(params)):
+        mode = "device"
     if mode == "device" and not device_decode.decode_supported(params):
         mode = "native"
     return mode
+
+
+def _host_decrypt(params: PvwParameters, secret_key: SecretKey,
+                  c1_hi, c1_lo, c2_hi, c2_lo) -> list[int]:
+    """Full host decrypt of d messages (mode ``host``): c1 [k, d, L, l],
+    c2 [d, L, l] (device or host arrays — fetched if needed). Callers
+    must have checked ``decrypt_decode_supported``."""
+    from ..utils.native_decode import decrypt_decode_native
+
+    sk_res = secret_key.host_ntt_residues()
+    c1 = u64op.join_u64_np(np.asarray(c1_hi), np.asarray(c1_lo))
+    c2 = u64op.join_u64_np(np.asarray(c2_hi), np.asarray(c2_lo))
+    c1 = np.ascontiguousarray(np.moveaxis(c1, 1, 0))        # [d, k, L, l]
+    out = decrypt_decode_native(sk_res, c1, c2, params)
+    if out is None:  # pragma: no cover — support pre-checked by router
+        raise RuntimeError("native host decrypt unexpectedly unavailable")
+    return out
 
 
 def _messages_from_device(out) -> list[int]:
@@ -222,12 +270,16 @@ def decrypt_party_value(ciphertext: PvwCiphertext, secret_key: SecretKey,
         raise InvalidParameters(
             f"Party index {party_index} exceeds maximum {params.n - 1}"
         )
-    sk = secret_key.to_polynomials()
     c1 = ciphertext.c1
     c2 = ciphertext.c2[party_index]
+    mode = _decode_mode(params, d=1)
+    if mode == "host":
+        return _host_decrypt(params, secret_key, c1.hi[:, None],
+                             c1.lo[:, None], c2.hi[None], c2.lo[None])[0]
+    sk = secret_key.to_polynomials()
     args = (params, sk.hi, sk.lo, c1.hi[:, None], c1.lo[:, None],
             c2.hi[None], c2.lo[None])
-    if _decode_mode(params) == "device":
+    if mode == "device":
         return _messages_from_device(_decrypt_decode_kernel(*args))[0]
     z = np.asarray(_noisy_message_kernel(*args))
     residues = u64op.join_u64_np(z[0], z[1])
@@ -253,12 +305,13 @@ def decrypt_party_shares(all_ciphertexts, secret_key: SecretKey,
             raise InvalidParameters(
                 f"Party index {party_index} exceeds maximum {params.n - 1}"
             )
-        if ct.c1.is_channel_major and ct.c2.is_channel_major:
+        if (ct.c1.is_channel_major and ct.c2.is_channel_major
+                and _decode_mode(params, d) != "host"):
             # native encrypt_batch output: consume channel-major directly
             sk = secret_key.to_polynomials()
             args = (params, sk.hi, sk.lo, *ct.c1.channel_pair(),
                     *ct.c2[party_index].channel_pair())
-            if _decode_mode(params) == "device":
+            if _decode_mode(params, d) == "device":
                 return _messages_from_device(_decrypt_decode_kernel_ch(*args))
             z = np.asarray(_noisy_message_kernel_ch(*args))
             residues = u64op.join_u64_np(z[0], z[1])
@@ -287,9 +340,13 @@ def decrypt_party_shares(all_ciphertexts, secret_key: SecretKey,
         c2_hi = jnp.stack([ct.c2.hi[party_index] for ct in all_ciphertexts])
         c2_lo = jnp.stack([ct.c2.lo[party_index] for ct in all_ciphertexts])
 
+    d = c2_hi.shape[0]
+    mode = _decode_mode(params, d)
+    if mode == "host":
+        return _host_decrypt(params, secret_key, c1_hi, c1_lo, c2_hi, c2_lo)
     sk = secret_key.to_polynomials()
     args = (params, sk.hi, sk.lo, c1_hi, c1_lo, c2_hi, c2_lo)
-    if _decode_mode(params) == "device":
+    if mode == "device":
         return _messages_from_device(_decrypt_decode_kernel(*args))
     z = np.asarray(_noisy_message_kernel(*args))
     residues = u64op.join_u64_np(z[0], z[1])

@@ -31,6 +31,7 @@ from .decryption import (
     _decode_mode,
     _decrypt_decode_kernel,
     _decrypt_decode_kernel_ch,
+    _host_decrypt,
     _messages_from_device,
     _noisy_message_kernel,
     _noisy_message_kernel_ch,
@@ -127,7 +128,17 @@ def decrypt_valid_shares(
         args = (params, sk.hi, sk.lo, c1h, c1l, c2h, c2l)
         kern, kern_dec = _noisy_message_kernel, _decrypt_decode_kernel
 
-    if _decode_mode(params) == "device":
+    mode = _decode_mode(params, len(idx_list))
+    if mode == "host":
+        c1h, c1l, c2h, c2l = args[3], args[4], args[5], args[6]
+        if kern is _noisy_message_kernel_ch:
+            # channel-major [L, l, k, s] / [L, l, s] -> canonical
+            c1h = jnp.transpose(c1h, (2, 3, 0, 1))
+            c1l = jnp.transpose(c1l, (2, 3, 0, 1))
+            c2h = jnp.transpose(c2h, (2, 0, 1))
+            c2l = jnp.transpose(c2l, (2, 0, 1))
+        shares = _host_decrypt(params, secret_key, c1h, c1l, c2h, c2l)
+    elif mode == "device":
         shares = _messages_from_device(kern_dec(*args))
     else:
         z = np.asarray(kern(*args))

@@ -43,6 +43,7 @@ class SecretKey:
         # (np views of jax buffers are read-only).
         self.secret_coeffs = np.array(secret_coeffs, np.int32, copy=True)
         self._poly_cache: Optional[Poly] = None
+        self._host_ntt_cache: Optional[np.ndarray] = None
 
     # -- construction ----------------------------------------------------
 
@@ -77,6 +78,14 @@ class SecretKey:
                                     self.params.ring)
         return self._poly_cache
 
+    def host_ntt_residues(self) -> np.ndarray:
+        """uint64 [k, L, l] NTT-domain residues, host-resident and cached
+        — the secret-key operand of the native host decrypt path
+        (:func:`pvw_tpu.utils.native_decode.decrypt_decode_native`)."""
+        if self._host_ntt_cache is None:
+            self._host_ntt_cache = self.to_polynomials().residues_np()
+        return self._host_ntt_cache
+
     def get_polynomial(self, index: int) -> Poly:
         """Single NTT polynomial (``secret_key.rs:98-112``)."""
         if index >= len(self.secret_coeffs):
@@ -99,6 +108,7 @@ class SecretKey:
         """Mutable access — invalidates the poly cache
         (``secret_key.rs:133-135``)."""
         self._poly_cache = None
+        self._host_ntt_cache = None
         return self.secret_coeffs
 
     def get_coefficients(self, index: int) -> Optional[np.ndarray]:
@@ -109,6 +119,7 @@ class SecretKey:
     def get_coefficients_mut(self, index: int) -> Optional[np.ndarray]:
         if 0 <= index < len(self.secret_coeffs):
             self._poly_cache = None
+            self._host_ntt_cache = None
             return self.secret_coeffs[index]
         return None
 
@@ -178,6 +189,7 @@ class SecretKey:
         self.secret_coeffs[...] = 0
         self.secret_coeffs = np.zeros((0, self.params.l), np.int32)
         self._poly_cache = None
+        self._host_ntt_cache = None
 
     def __repr__(self) -> str:
         return f"SecretKey(k={self.params.k}, l={self.params.l})"

@@ -149,8 +149,17 @@ def decrypt_party_shares_limb_parallel(ct: LimbShardedCiphertext,
                                        secret_key: SecretKey,
                                        party_index: int) -> list[int]:
     """Batched decryption of a limb-sharded ciphertext: the device
-    inner-product stage runs per limb shard (no collectives), the host
-    CRT decode consumes the concatenated residues."""
+    inner-product stage runs per limb shard (no collectives — limbs are
+    independent through the inverse NTT), then the limb residues gather
+    onto the first shard's device where the multiword sequential-rounding
+    decode runs as ONE device program (:mod:`pvw_tpu.crypto.
+    device_decode`; the decode needs every limb for its CRT lifts, so it
+    cannot stay limb-local). Host fetch = 8 B/msg, same as the
+    single-device path. ``PVW_TPU_DECODE=native|python`` falls back to
+    the host engines on the gathered residues."""
+    from ..crypto.decryption import _decode_mode, _messages_from_device
+    from ..crypto import device_decode
+
     params = ct.params
     if not (0 <= party_index < params.n):
         raise InvalidParameters(
@@ -168,6 +177,14 @@ def decrypt_party_shares_limb_parallel(ct: LimbShardedCiphertext,
             sub, skh, skl, c1h, c1l, c2h[:, :, party_index],
             c2l[:, :, party_index],
         ))
+    if _decode_mode(params, d=None) == "device":
+        # gather limb residues onto shard 0's device and decode there:
+        # [2, d, L_s, l] blocks -> [2, d, L, l] -> messages [2, d]
+        dev0 = next(iter(zs[0].devices()))
+        z = jnp.concatenate([jax.device_put(zz, dev0) for zz in zs], axis=2)
+        plan = device_decode.get_plan(params)
+        return _messages_from_device(
+            device_decode.decode_residues_jit(plan, z[0], z[1]))
     # concat limb axes on host: [2, d, L_s, l] -> [2, d, L, l]
     z = np.concatenate([np.asarray(zz) for zz in zs], axis=2)
     residues = u64op.join_u64_np(z[0], z[1])

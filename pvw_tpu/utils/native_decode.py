@@ -64,6 +64,19 @@ def _lib():
         ctypes.c_uint64,                  # delta
         ctypes.POINTER(ctypes.c_uint64),  # out
     ]
+    p64 = ctypes.POINTER(ctypes.c_uint64)
+    lib.pvw_decrypt_decode_batch.restype = ctypes.c_int
+    lib.pvw_decrypt_decode_batch.argtypes = [
+        p64, p64, p64,                    # sk, c1, c2
+        ctypes.c_int64,                   # d
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # k, L, ell
+        p64,                              # moduli
+        p64,                              # ntt_inv
+        p64, p64, p64, p64,               # qhat_inv/qhat_words/q/dpow words
+        ctypes.c_int32,                   # nw
+        ctypes.c_uint64,                  # delta
+        p64,                              # out
+    ]
     return lib
 
 
@@ -95,6 +108,60 @@ def _ctx_tables(params):
     dpow_words = _words(params.delta_power_l_minus_1() % q, nw)
     return (moduli, qhat_inv, np.ascontiguousarray(qhat_words), q_words,
             dpow_words, nw, delta)
+
+
+@lru_cache(maxsize=16)
+def _inv_tables(ring):
+    """Stacked inverse-NTT matrices uint64 [L, l, l] for the host decrypt."""
+    return np.ascontiguousarray(
+        np.stack([lp.ntt_inv for lp in ring.limbs]), dtype=np.uint64)
+
+
+def decrypt_decode_supported(params) -> bool:
+    """True when the full host decrypt (:func:`decrypt_decode_native`) can
+    run this parameter set: native lib built, delta < 2^63, q within the
+    word budget, every modulus < 2^62 (lazy-accumulator headroom)."""
+    if _lib() is None or _ctx_tables(params) is None:
+        return False
+    return all(m < 1 << 62 for m in params.ring.moduli)
+
+
+def decrypt_decode_native(sk_res: np.ndarray, c1_res: np.ndarray,
+                          c2_res: np.ndarray, params) -> list[int] | None:
+    """Full host decryption: z = <s, c1> - c2 (NTT-domain contraction),
+    inverse NTT, and the sequential-rounding decode, all in C++ — the
+    single/small-batch latency path (``decryption.rs:249-278`` without an
+    accelerator dispatch).
+
+    sk_res uint64 [k, L, l] (NTT residues); c1_res [d, k, L, l];
+    c2_res [d, L, l]. Returns None if unsupported (caller falls back)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    tables = _ctx_tables(params)
+    if tables is None:
+        return None
+    if any(m >= 1 << 62 for m in params.ring.moduli):
+        return None
+    moduli, qhat_inv, qhat_words, q_words, dpow_words, nw, delta = tables
+    inv = _inv_tables(params.ring)
+    sk = np.ascontiguousarray(sk_res, np.uint64)
+    c1 = np.ascontiguousarray(c1_res, np.uint64)
+    c2 = np.ascontiguousarray(c2_res, np.uint64)
+    d, k = c1.shape[0], c1.shape[1]
+    out = np.zeros(d, np.uint64)
+    p64 = ctypes.POINTER(ctypes.c_uint64)
+    rc = lib.pvw_decrypt_decode_batch(
+        sk.ctypes.data_as(p64), c1.ctypes.data_as(p64),
+        c2.ctypes.data_as(p64), d, k, params.ring.num_limbs, params.l,
+        moduli.ctypes.data_as(p64), inv.ctypes.data_as(p64),
+        qhat_inv.ctypes.data_as(p64), qhat_words.ctypes.data_as(p64),
+        q_words.ctypes.data_as(p64), dpow_words.ctypes.data_as(p64),
+        nw, delta, out.ctypes.data_as(p64),
+    )
+    if rc != 0:
+        return None
+    return [int(v) for v in out]
 
 
 def decode_batch_native(residues: np.ndarray, params) -> list[int] | None:

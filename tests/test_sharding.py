@@ -66,6 +66,43 @@ def test_sharded_roundtrip():
         assert shares == decrypt_party_shares(ct, parties[pi].secret_key, pi)
 
 
+@pytest.mark.parametrize("kdim", [1, 2, 4])
+def test_sharded_decrypt_channel_major(kdim):
+    """The sharded decrypt must consume channel-major ciphertexts (the
+    layout encrypt_batch natively emits) without canonicalizing, on any
+    mesh shape, with the on-device decode."""
+    p, gpk, parties = setup_system()
+    mesh = make_mesh(jax.devices(), kdim=kdim)
+    vectors = np.array(
+        [[d * 31 + r + 2 for r in range(p.n)] for d in range(p.n)], np.uint64
+    )
+    ct = encrypt_batch(vectors, gpk, jax.random.key(9))   # channel-major
+    assert ct.c1.is_channel_major and ct.c2.is_channel_major
+    for pi in (0, 5):
+        shares = decrypt_party_shares_sharded(
+            ct, parties[pi].secret_key, pi, mesh
+        )
+        assert shares == [int(vectors[d][pi]) for d in range(p.n)]
+    # the lazy channel-major layout must have survived (no transpose)
+    assert ct.c1.is_channel_major and ct.c2.is_channel_major
+
+
+def test_sharded_decrypt_decode_modes_agree(monkeypatch):
+    """Device in-shard decode vs host decode of the fetched residues must
+    be bit-identical on the mesh path (the round-2 26x decode asymmetry
+    fix must not change values)."""
+    p, gpk, parties = setup_system()
+    mesh = make_mesh(jax.devices(), kdim=2)
+    vectors = np.array(
+        [[d * 7 + r for r in range(p.n)] for d in range(p.n)], np.uint64
+    )
+    ct = encrypt_batch_sharded(vectors, gpk, jax.random.key(13), mesh)
+    dev = decrypt_party_shares_sharded(ct, parties[2].secret_key, 2, mesh)
+    monkeypatch.setenv("PVW_TPU_DECODE", "python")
+    host = decrypt_party_shares_sharded(ct, parties[2].secret_key, 2, mesh)
+    assert dev == host == [int(vectors[d][2]) for d in range(p.n)]
+
+
 def test_mesh_divisibility_validation():
     p, gpk, _ = setup_system(n=6, k=8)
     mesh = make_mesh(jax.devices(), kdim=2)  # recv=4 does not divide n=6
