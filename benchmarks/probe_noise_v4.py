@@ -24,8 +24,67 @@ from pvw_tpu.ops.pallas_modmat import kernel_noise_available, matmul_fold_scaled
 from pvw_tpu.params.ring import get_ring
 
 
+DEFAULT_CONFIG = {
+    "moduli": [0xFFFFC4001, 0x1FFFFE0001],
+    "l": 8, "k": 256, "d": 1024, "rows": 1024,
+    "bound": 200, "seed": 7,
+}
+
+
+def compute_golden(config) -> str:
+    """Extract the raw stream-v4 noise values for ``config`` (zero-lhs
+    kernel run -> inverse NTT -> centered limb-0 values) and return a
+    stable digest. Committed as tests/vectors/noise_v4_golden.json and
+    re-checked by tests/test_noise_v4.py::test_v4_golden whenever a TPU
+    backend is present — the hardware-PRNG pin the CPU contract tests
+    cannot provide."""
+    import hashlib
+
+    from pvw_tpu.ops.ntt import signed_digit_count
+
+    moduli = tuple(config["moduli"])
+    l, k, d, rows = (config[x] for x in ("l", "k", "d", "rows"))
+    bound = config["bound"]
+    ring = get_ring(moduli, l)
+    assert kernel_noise_available(ring, rows, d, k, bound, False, False)
+    L = ring.num_limbs
+    zero_dig = jnp.zeros((L, l, rows, k * ring.num_digits), jnp.int8)
+    rs = jnp.zeros((L, l, k, d, ring.num_digits, ring.num_digits), jnp.int8)
+    key = jax.random.key(config["seed"])
+    kd_words = jax.lax.bitcast_convert_type(
+        jax.random.key_data(key).reshape(2), jnp.int32)
+    seeds = jnp.concatenate([kd_words, jnp.zeros(2, jnp.int32)])
+    jr = signed_digit_count(bound)
+    oh, ol = matmul_fold_scaled(None, rs, ring, lhs_dig=zero_dig,
+                                gen_noise=(seeds, jr, bound))
+    zh = jnp.transpose(oh, (2, 3, 0, 1))
+    zl = jnp.transpose(ol, (2, 3, 0, 1))
+    nh, nl = ntt_ops.ntt_inverse((zh, zl), ring)
+    res = u64op.join_u64_np(np.asarray(nh), np.asarray(nl))
+    q0 = moduli[0]
+    v0 = res[..., 0, :].astype(np.int64)
+    centered = np.where(v0 > q0 // 2, v0 - q0, v0).astype(np.int32)
+    return hashlib.sha256(centered.tobytes()).hexdigest()
+
+
+def emit_golden(path: str) -> None:
+    import json
+
+    digest = compute_golden(DEFAULT_CONFIG)
+    with open(path, "w") as f:
+        json.dump({"config": DEFAULT_CONFIG, "digest": digest}, f, indent=1)
+    print(f"golden written to {path}: {digest}", flush=True)
+
+
 def main():
     assert jax.default_backend() == "tpu", "v4 probe needs real TPU"
+    if "--emit-golden" in sys.argv:
+        import os
+
+        emit_golden(os.path.join(
+            __file__.rsplit("/", 2)[0], "tests", "vectors",
+            "noise_v4_golden.json"))
+        return
     moduli = (0xFFFFC4001, 0x1FFFFE0001)
     l, k, d, rows = 8, 32, 256, 1024
     bound = 200

@@ -38,11 +38,58 @@ if TYPE_CHECKING:
     from ..params.ring import RingPlan
 
 
+# --------------------------------------------------------------------------
+# stream-v4 contract helpers
+#
+# The in-kernel hardware-PRNG noise ("stream v4") is defined by three pure
+# functions, extracted here so CPU-runnable tests can pin the contract
+# (tests/test_noise_v4.py) even though the PRNG primitives themselves only
+# exist on the TPU backend (pltpu.prng_* has no interpret-mode lowering):
+# a regression in the seed mixing, the 96-bit reduction, or the digit
+# split changes these functions and fails the tests.
+# --------------------------------------------------------------------------
+
+def v4_blockmix(row0, col0):
+    """Per-tile seed perturbation: ``(row0/8) << 17 | col0/128``.
+
+    ``row0``/``col0`` are the tile's GLOBAL first row/column. Mosaic tiles
+    are >= (8, 128)-aligned, so the two quotients identify the tile block
+    uniquely and the mix is injective for col0 < 2^24 (tile-uniqueness is
+    what makes every tile draw an independent stream from the same key —
+    tested in tests/test_noise_v4.py)."""
+    return ((row0 >> 3) << 17) | (col0 >> 7)
+
+
+def v4_reduce96(b_hi, b_mid, b_lo, rng32):
+    """Exact 96-bit scaled reduction: v = floor(x96 * rng32 / 2^96) for
+    x96 = b_hi*2^64 + b_mid*2^32 + b_lo (all uint32) — the
+    :func:`pvw_tpu.sampling.uniform.sample_bounded_u64` fast path, so the
+    sampled value is uniform in [0, rng32) up to distance rng32/2^96.
+    Pure jnp (VPU ops in-kernel; CPU-testable outside)."""
+    h0 = u.mulhi32(b_lo, rng32)
+    h1, l1 = u.mul32_wide(b_mid, rng32)
+    h2, l2 = u.mul32_wide(b_hi, rng32)
+    s32 = h0 + l1
+    c32 = (s32 < h0).astype(u.U32)
+    s64 = h1 + l2
+    c64a = (s64 < h1).astype(u.U32)
+    s64 = s64 + c32
+    c64b = ((s64 == 0).astype(u.U32)) & c32
+    return h2 + c64a + c64b
+
+
+def v4_digit_split(sv):
+    """Signed value -> (d0, d1) signed-8-bit digits with sv == d0 + 256*d1
+    (the jr=2 noise digit-plane layout)."""
+    d0 = ((sv + 128) & 255) - 128
+    return d0, (sv - d0) >> 8
+
+
 def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
                     use_words: bool = False, has_encode: bool = False,
                     encode32: bool = False, gen_noise: tuple | None = None,
                     noise_vals: int = 0, in_jr: int = 0,
-                    dots_first: bool = False):
+                    dots_first: bool = False, masked: bool = False):
     """Factory for the fused matmul+fold kernel bodies.
 
     All variants bias each int32 column by +2^31 and accumulate groups of
@@ -84,6 +131,14 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
       the TPU hardware PRNG is deterministic per seed but not a specified
       CSPRNG; set PVW_TPU_NOISE=v3 to keep the threefry stream (slower —
       the threefry draw was ~15% of device time).
+    - ``masked`` (requires ``gen_noise``): seeds carry a global row range
+      [seeds[3], seeds[4]) — the PRNG draws the IDENTICAL per-tile stream
+      (same bits, same order — bit-compatible with the unmasked kernel),
+      but noise values AND the in-kernel encode are zeroed outside the
+      range. This is how a kdim-split mesh shard applies noise/encode to
+      exactly its 1/kd row block of the partial sum: the kdim partials
+      gather-add to the same residues as the single-shard kernel (modular
+      adds commute), for ANY row partition including ragged ones.
     - ``noise_vals``: > 0 switches the noise MAC to VALUE planes: the
       scratch holds ``noise_vals`` (= ring degree) int32 noise VALUES per
       element instead of l*jr int8 digits, contracted against the jr=1
@@ -129,6 +184,11 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
         tm = lhs_ref.shape[1]
         n = out_hi_ref.shape[2]
 
+        row_ok = None
+        if masked:
+            rid = (seed_ref[2] + pl.program_id(0) * tm
+                   + jax.lax.broadcasted_iota(jnp.int32, (tm, n), 0))
+            row_ok = (rid >= seed_ref[3]) & (rid < seed_ref[4])
         if gen_noise is not None:
             ldeg, jr, bound = gen_noise
             rng32 = jnp.uint32(2 * bound + 1)
@@ -138,33 +198,27 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
                 i = pl.program_id(0)
                 j = pl.program_id(1)
                 row0 = seed_ref[2] + i * tm
-                mix = ((row0 >> 3) << 17) | ((j * n) >> 7)
+                mix = v4_blockmix(row0, j * n)
                 pltpu.prng_seed(seed_ref[0] ^ mix, seed_ref[1])
                 for jj in range(ldeg):
                     bits = pltpu.bitcast(
                         pltpu.prng_random_bits((3, tm, n)), u.U32)
                     # v = floor(x96 * range / 2^96): exact 96-bit scaled
                     # reduction (the sample_bounded_u64 fast path).
-                    h0 = u.mulhi32(bits[2], rng32)
-                    h1, l1 = u.mul32_wide(bits[1], rng32)
-                    h2, l2 = u.mul32_wide(bits[0], rng32)
-                    s32 = h0 + l1
-                    c32 = (s32 < h0).astype(u.U32)
-                    s64 = h1 + l2
-                    c64a = (s64 < h1).astype(u.U32)
-                    s64 = s64 + c32
-                    c64b = ((s64 == 0).astype(u.U32)) & c32
-                    v = h2 + c64a + c64b                  # < 2*bound+1
+                    v = v4_reduce96(bits[0], bits[1], bits[2], rng32)
                     sv = v.astype(jnp.int32) - bound      # [-bound, bound]
+                    if masked:
+                        # same bits drawn, rows outside the shard's range
+                        # contribute zero (additive identity pre-fold)
+                        sv = jnp.where(row_ok, sv, 0)
                     if noise_vals:
                         noise_scr[jj] = sv                # value plane
                     elif jr == 1:
                         noise_scr[jj] = sv.astype(jnp.int8)
                     else:
-                        d0 = ((sv + 128) & 255) - 128
+                        d0, d1 = v4_digit_split(sv)
                         noise_scr[2 * jj] = d0.astype(jnp.int8)
-                        noise_scr[2 * jj + 1] = ((sv - d0) >> 8).astype(
-                            jnp.int8)
+                        noise_scr[2 * jj + 1] = d1.astype(jnp.int8)
             noise_ref = noise_scr
         elif has_noise and noise_vals and in_jr:
             # input digit planes -> int32 value planes, once per (i, j)
@@ -301,6 +355,11 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
                 neg = sch >= jnp.uint32(1 << 31)
                 eh = jnp.where(neg, wh, eh)
                 el = jnp.where(neg, wl, el)
+            if masked:
+                # the encode, like the noise, lands only on this shard's
+                # row range (added exactly once across the kdim partials)
+                eh = jnp.where(row_ok, eh, 0)
+                el = jnp.where(row_ok, el, 0)
             oh, ol = u.addmod(oh, ol, eh, el, qh, ql)
         out_hi_ref[0] = oh
         out_lo_ref[0] = ol
@@ -433,14 +492,15 @@ def _pick_tiles(m: int, n: int, kd: int, C: int, extra_mn: int = 0):
     return None
 
 
-@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 13, 14, 15, 16))
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 13, 14, 15, 16, 17))
 def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
                                encode, tile_m: int, tile_n: int,
                                interpret: bool, use_words: bool = False,
                                encode32: bool = False, seeds=None,
                                gen_noise: tuple | None = None,
                                noise_vals: int = 0, in_jr: int = 0,
-                               dots_first: bool = False):
+                               dots_first: bool = False,
+                               masked: bool = False):
     """lhs_dig int8 [CH, m, kd]; band int8 [CH, nd, kd, n]; tables uint32
     [CH, 36]; ntab int32 [CH, ljr, nd] (rows = l with ``noise_vals``);
     noise int8 [ljr, m, n] (or None with ``gen_noise``); post None or
@@ -528,7 +588,7 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
         scratch = []
     oh, ol = pl.pallas_call(
         _make_fold_body(2, True, has_post, use_words, has_encode, encode32,
-                        gen_noise, noise_vals, in_jr, dots_first),
+                        gen_noise, noise_vals, in_jr, dots_first, masked),
         grid=grid,
         in_specs=in_specs,
         out_specs=[mn_spec(), mn_spec()],
@@ -676,7 +736,11 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
     PRNG; see :func:`_make_fold_body`). Mutually exclusive with
     ``noise``. Callers MUST have checked :func:`kernel_noise_available`;
     this function raises if the Pallas path is unavailable, because the
-    XLA fallback cannot reproduce the hardware PRNG stream.
+    XLA fallback cannot reproduce the hardware PRNG stream. Seeds of
+    length 6 = (key0, key1, row_offset, mask_lo, mask_hi, 0) select the
+    MASKED variant: identical per-tile streams, but noise and the
+    in-kernel encode land only on global rows in [mask_lo, mask_hi) —
+    the kdim-sharded encryption path's row-partition contract.
 
     ``noise_bound``: the true magnitude bound of the noise VALUES behind
     ``noise`` digit planes; enables the exact value-plane MAC
@@ -826,10 +890,14 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
     if post is not None:
         post_ch = (post[0].reshape(L * S, m, n), post[1].reshape(L * S, m, n))
     dots_first = os.environ.get("PVW_TPU_DOTS_FIRST", "0") == "1"
+    # seeds of length >= 6 carry a [lo, hi) global row mask (see
+    # _make_fold_body ``masked``): the kdim-split mesh shards use it to
+    # apply noise/encode to exactly their row block of the partial sum
+    masked = seeds is not None and seeds.shape[0] >= 6
     oh, ol = _fused_scaled_noise_matmul(
         ld, r2, tables, ntab, noise, post_ch, encode, tile_m, tile_n, False,
         ring.fold_words_ok, encode32, seeds, gen_static, n_vals, in_jr,
-        dots_first,
+        dots_first, masked,
     )
     return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)
 

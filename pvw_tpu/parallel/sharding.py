@@ -114,23 +114,33 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         row-keyed stream as _noise_ntt (bit-identical values)."""
         return ntt_ops.noise_digit_planes(kk, row_off, rows, d, l, bound)
 
-    def _gen_noise_seeds(kk, rows, bound, row_off, has_encode):
+    def _gen_noise_seeds(kk, rows, bound, row_off, has_encode, mask=None,
+                         contract=None):
         """Stream-v4 in-kernel PRNG seeds (see crypto.encryption), with
         the shard's GLOBAL row offset so every mesh shape draws the same
-        per-row-block streams on the same hardware; None -> v3 path."""
+        per-row-block streams on the same hardware; None -> v3 path.
+
+        ``mask=(lo, hi)`` selects the MASKED kernel variant (len-6
+        seeds): the kdim>1 shards draw the identical full-tile streams
+        but land noise/encode only on global rows [lo, hi) — their slice
+        of the row partition — so the gather-sum over kdim contains each
+        row's noise exactly once. ``contract``: the LOCAL contraction
+        length (k/kdim) for the VMEM availability check."""
         if not use_v4:
             return None
         jr = ntt_ops.signed_digit_count(bound)
         if not jr or not kernel_noise_available(
-                ring, rows, d, k, bound, False, has_encode):
+                ring, rows, d, contract if contract is not None else k,
+                bound, False, has_encode):
             return None
         kd_words = jax.lax.bitcast_convert_type(
             jax.random.key_data(kk).reshape(2), jnp.int32)
-        seeds = jnp.concatenate([
-            kd_words, jnp.asarray(row_off, jnp.int32).reshape(1),
-            jnp.zeros(1, jnp.int32),
-        ])
-        return (seeds, jr, int(bound))
+        parts = [kd_words, jnp.asarray(row_off, jnp.int32).reshape(1)]
+        if mask is not None:
+            parts += [jnp.asarray(mask[0], jnp.int32).reshape(1),
+                      jnp.asarray(mask[1], jnp.int32).reshape(1)]
+        parts.append(jnp.zeros(1, jnp.int32))
+        return (jnp.concatenate(parts), jr, int(bound))
 
     def shard_fn(a_dig, b_dig, sc_hi, sc_lo, key):
         k_r, k_e1, k_e2 = jax.random.split(key, 3)
@@ -150,20 +160,20 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         # prescale the local r block once; both local products reuse it
         # (same fused Pallas kernel as the single-device path)
         r_scaled = modmat.prescale_digits_band(rb_ch, ring)
-        whole_k = kd == 1  # contraction local -> noise/encode can fuse
+        whole_k = kd == 1  # contraction local -> no kdim partial sums
 
         # encode of the local scalars (sc sharded over recv on axis 1):
-        # in-kernel from scalar tiles when the contraction is local; the
-        # kdim>1 path materializes it row-split across the kdim shards
-        # below (pre-gather) or in full after the cross-shard reduction
-        if whole_k:
-            from ..ops.pallas_modmat import encode_tab
+        # in-kernel from scalar tiles — whole-k directly; kdim>1 via the
+        # MASKED kernel variant (each kdim shard's kernel lands the
+        # encode + noise on its row slice of the partial, so the
+        # gather-sum contains them exactly once)
+        from ..ops.pallas_modmat import encode_tab
 
-            etab = jnp.asarray(encode_tab(
-                params.gadget_ntt, params.gadget_ntt_shoup,
-                params.gadget_wrap, ring.moduli,
-            ))
-            enc_k = (jnp.transpose(sc_hi), jnp.transpose(sc_lo), etab)
+        etab = jnp.asarray(encode_tab(
+            params.gadget_ntt, params.gadget_ntt_shoup,
+            params.gadget_wrap, ring.moduli,
+        ))
+        enc_k = (jnp.transpose(sc_hi), jnp.transpose(sc_lo), etab)
 
         def _bake_rows(parts, noise_pair, row0, rows):
             """Add a noise row-block into a partial-sum tensor at
@@ -177,9 +187,15 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
                 x, v, row0, 0)
             return upd(parts[0], s[0]), upd(parts[1], s[1])
 
-        # c1 partial over the local k block, then gather+addmod over kdim
-        g1 = _gen_noise_seeds(k_e1, k, params.error_bound_1, 0, False) \
-            if whole_k else None
+        # c1 partial over the local k block, then gather+addmod over kdim.
+        # e1: in-kernel v4 (masked to this shard's k-row block at kdim>1),
+        # else v3 digit planes (whole-k) / row-block bake (kdim>1).
+        if whole_k:
+            g1 = _gen_noise_seeds(k_e1, k, params.error_bound_1, 0, False)
+        else:
+            g1 = _gen_noise_seeds(
+                k_e1, k, params.error_bound_1, 0, False,
+                mask=(my_k * kc, my_k * kc + kc), contract=kc)
         n1 = None
         if whole_k and g1 is None:
             n1 = _noise_planes(k_e1, 0, k, params.error_bound_1)
@@ -188,7 +204,7 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
             noise_bound=params.error_bound_1,
         )
         c1p = (from_ch(c1p_ch[0]), from_ch(c1p_ch[1]))
-        if n1 is None and kd > 1:
+        if g1 is None and n1 is None and kd > 1:
             # each kdim shard samples ONLY its k-row block of e1 (row-keyed
             # stream: the same values the single-device draw places there)
             e1b = _noise_ntt(k_e1, my_k * kc, kc, params.error_bound_1)
@@ -199,48 +215,61 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
             e1 = _noise_ntt(k_e1, 0, k, params.error_bound_1)
             c1 = modmat.poly_add(c1, e1, ring)
 
-        # c2: local receiver rows x local k block; e2 row-keyed over this
-        # shard's receiver rows
+        # c2: local receiver rows x local k block; e2 + encode row-keyed
+        # over this shard's receiver rows. kdim>1 partitions the nl local
+        # rows into ceil(nl/kd) blocks (ragged allowed: the tail block is
+        # short) — via the masked kernel (v4) or a padded pre-gather bake
+        # (v3; padding rows carry only dropped values, see below).
         my_r = jax.lax.axis_index("recv")
         nl = b_dig.shape[2]
-        g2 = _gen_noise_seeds(k_e2, nl, params.error_bound_2, my_r * nl,
-                              True) if whole_k else None
+        glob0 = my_r * nl
+        rc = -(-nl // kd)             # per-kdim-shard row block (ceil)
+        blk_lo = my_k * rc            # local row offset of my block
+        if whole_k:
+            g2 = _gen_noise_seeds(k_e2, nl, params.error_bound_2, glob0,
+                                  True)
+        else:
+            g2 = _gen_noise_seeds(
+                k_e2, nl, params.error_bound_2, glob0, True,
+                mask=(glob0 + blk_lo, glob0 + blk_lo + rc), contract=kc)
         n2 = None
         if whole_k and g2 is None:
-            n2 = _noise_planes(k_e2, my_r * nl, nl, params.error_bound_2)
+            n2 = _noise_planes(k_e2, glob0, nl, params.error_bound_2)
         c2p_ch = matmul_fold_scaled(
             None, r_scaled, ring, noise=n2, gen_noise=g2,
-            encode=enc_k if whole_k else None, lhs_dig=b_dig,
-            noise_bound=params.error_bound_2,
+            encode=enc_k if (whole_k or g2 is not None) else None,
+            lhs_dig=b_dig, noise_bound=params.error_bound_2,
         )
         c2p = (from_ch(c2p_ch[0]), from_ch(c2p_ch[1]))
-        # kdim > 1: split the per-receiver-block e2 + encode work across
-        # the kdim shards (each bakes 1/kd of the rows into its partial
-        # pre-gather) instead of every shard redundantly computing all of
-        # it post-gather; falls back when nl does not divide.
-        split_rows = kd > 1 and nl % kd == 0
-        nlk = nl // kd if split_rows else 0
-        if n2 is None and split_rows:
-            e2b = _noise_ntt(k_e2, my_r * nl + my_k * nlk, nlk,
+        pad = rc * kd - nl            # 0 unless kd does not divide nl
+        if not whole_k and g2 is None:
+            # v3 fallback: bake this shard's e2 + encode row block into
+            # the partial pre-gather. Ragged blocks are handled by
+            # padding the partial to rc*kd rows: the tail shard's block
+            # then samples/encodes rows keyed past nl whose values land
+            # ONLY in padding rows, sliced away after the gather.
+            if pad:
+                padf = lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * 3)
+                c2p = (padf(c2p[0]), padf(c2p[1]))
+                sc_h = jnp.pad(sc_hi, ((0, 0), (0, pad)))
+                sc_l = jnp.pad(sc_lo, ((0, 0), (0, pad)))
+            else:
+                sc_h, sc_l = sc_hi, sc_lo
+            e2b = _noise_ntt(k_e2, glob0 + blk_lo, rc,
                              params.error_bound_2)
-            c2p = _bake_rows(c2p, e2b, my_k * nlk, nlk)
-        if not whole_k and split_rows:
-            row0 = my_k * nlk
-            sc_sl = (jax.lax.dynamic_slice_in_dim(sc_hi, row0, nlk, 1),
-                     jax.lax.dynamic_slice_in_dim(sc_lo, row0, nlk, 1))
+            c2p = _bake_rows(c2p, e2b, blk_lo, rc)
+            sc_sl = (jax.lax.dynamic_slice_in_dim(sc_h, blk_lo, rc, 1),
+                     jax.lax.dynamic_slice_in_dim(sc_l, blk_lo, rc, 1))
             enc_b = _encode_channel_major(params, sc_sl[0], sc_sl[1], ring)
-            enc_b = (jnp.transpose(enc_b[0], (2, 3, 0, 1)),    # [nlk, d, L, l]
+            enc_b = (jnp.transpose(enc_b[0], (2, 3, 0, 1)),   # [rc, d, L, l]
                      jnp.transpose(enc_b[1], (2, 3, 0, 1)))
-            c2p = _bake_rows(c2p, enc_b, row0, nlk)
+            c2p = _bake_rows(c2p, enc_b, blk_lo, rc)
         c2_hi, c2_lo = _modsum_gathered(c2p[0], c2p[1], ring, "kdim")
+        if not whole_k and g2 is None and pad:
+            c2_hi, c2_lo = c2_hi[:nl], c2_lo[:nl]
         c2 = (c2_hi, c2_lo)
-        if not whole_k and not split_rows:
-            enc_ch = _encode_channel_major(params, sc_hi, sc_lo, ring)
-            enc = (jnp.transpose(enc_ch[0], (2, 3, 0, 1)),     # [nl, d, L, l]
-                   jnp.transpose(enc_ch[1], (2, 3, 0, 1)))
-            c2 = modmat.poly_add(c2, enc, ring)
-        if g2 is None and n2 is None and not split_rows:
-            e2 = _noise_ntt(k_e2, my_r * nl, nl, params.error_bound_2)
+        if g2 is None and n2 is None and whole_k:
+            e2 = _noise_ntt(k_e2, glob0, nl, params.error_bound_2)
             c2 = modmat.poly_add(c2, e2, ring)
         return c1[0], c1[1], c2[0], c2[1]
 

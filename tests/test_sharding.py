@@ -66,6 +66,30 @@ def test_sharded_roundtrip():
         assert shares == decrypt_party_shares(ct, parties[pi].secret_key, pi)
 
 
+def test_sharded_encrypt_ragged_rows():
+    """kdim>1 with receiver row blocks that do NOT divide: n=6 over
+    (recv=2, kdim=4) gives 3 local rows split 1/1/1/0-ish across 4 kdim
+    shards (rc=1, one padding row) — the padded pre-gather bake must
+    still be bit-identical to the single-device kernel."""
+    p, gpk, parties = setup_system(n=6, k=8)
+    mesh = make_mesh(jax.devices(), kdim=4)
+    assert mesh.shape == {"recv": 2, "kdim": 4}
+    scalars = np.arange(4 * p.n, dtype=np.uint64).reshape(4, p.n) + 3
+    key = jax.random.key(17)
+    ct_ref = encrypt_batch(scalars, gpk, key)
+    ct_sh = encrypt_batch_sharded(scalars, gpk, key, mesh)
+    np.testing.assert_array_equal(ct_ref.c1.residues_np(),
+                                  ct_sh.c1.residues_np())
+    np.testing.assert_array_equal(ct_ref.c2.residues_np(),
+                                  ct_sh.c2.residues_np())
+    # and the round trip decrypts through the sharded path (d=4 % recv=2)
+    for pi in (0, 5):
+        shares = decrypt_party_shares_sharded(
+            ct_sh, parties[pi].secret_key, pi, mesh
+        )
+        assert shares == [int(scalars[dd][pi]) for dd in range(4)]
+
+
 @pytest.mark.parametrize("kdim", [1, 2, 4])
 def test_sharded_decrypt_channel_major(kdim):
     """The sharded decrypt must consume channel-major ciphertexts (the

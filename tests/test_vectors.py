@@ -29,20 +29,18 @@ needs_vectors = pytest.mark.skipif(
 )
 
 
-def _params_from(case):
-    from pvw_tpu.params.parameters import PvwParametersBuilder
+# The loader/bridge machinery is the LIBRARY module pvw_tpu.interop
+# (promoted from this suite in round 3) — these tests exercise it both
+# against dropped-in reference vectors and the synthetic foreign
+# implementation below.
+from pvw_tpu.interop import (  # noqa: E402
+    load_params as _params_from_dict,
+    solve_ntt_bridge,
+)
 
-    p = case["params"]
-    b = (PvwParametersBuilder()
-         .set_parties(int(p["n"])).set_dimension(int(p["k"]))
-         .set_l(int(p["l"]))
-         .set_moduli(tuple(int(m) for m in p["moduli"])))
-    if "secret_variance" in p:
-        b.set_secret_variance(float(p["secret_variance"]))
-    if "error_bound_1" in p:
-        b.set_error_bounds_u32(int(p["error_bound_1"]),
-                               int(p["error_bound_2"]))
-    return b.build()
+
+def _params_from(case):
+    return _params_from_dict(case["params"])
 
 
 def _res_np(rows):
@@ -50,36 +48,9 @@ def _res_np(rows):
     return np.array([[int(v) for v in row] for row in rows], np.uint64)
 
 
-def solve_ntt_bridge(params, probe):
-    """Per limb: permutation perm[s] = our slot j for fhe-math slot s,
-    derived from the dumped NTT of the monomial X."""
-    ring = params.ring
-    perms = []
-    for i, limb in enumerate(ring.limbs):
-        q, psi = limb.q, limb.psi
-        two_l = 2 * ring.degree
-        pow_to_exp = {pow(psi, e, q): e for e in range(1, two_l, 2)}
-        perm = []
-        for s in range(ring.degree):
-            v = int(probe["x_monomial_ntt"][i][s])
-            if v not in pow_to_exp:
-                pytest.fail(
-                    f"limb {i} slot {s}: {v} is not a primitive 2l-th "
-                    "root of unity — fhe-math stores a scaled NTT form; "
-                    "extend the bridge with the scale factor")
-            perm.append((pow_to_exp[v] - 1) // 2)
-        assert sorted(perm) == list(range(ring.degree)), "not a bijection"
-        perms.append(perm)
-    return perms
-
-
-def bridge_to_ours(res, perms):
+def bridge_to_ours(res, bridge):
     """fhe-math NTT residues [L][l] -> our slot order."""
-    out = np.zeros_like(res)
-    for i, perm in enumerate(perms):
-        for s, j in enumerate(perm):
-            out[i, j] = res[i, s]
-    return out
+    return bridge.to_ours(np.asarray(res))
 
 
 class TestBridgeSelfCheck:
@@ -140,13 +111,13 @@ class TestBridgeSelfCheck:
         probe = [[str(pow(limb.psi, 2 * sigma[i][s] + 1, limb.q))
                   for s in range(ring.degree)]
                  for i, limb in enumerate(ring.limbs)]
-        perms = solve_ntt_bridge(params, {"x_monomial_ntt": probe})
-        assert perms == sigma  # exact recovery, no hypothesis
+        bridge = solve_ntt_bridge(params, {"x_monomial_ntt": probe})
+        assert bridge.perms == sigma  # exact recovery, no hypothesis
         # round-trip residues through the foreign order and decrypt
         c1_f = self._foreign_dump(np.asarray(ct.c1.residues_np()), sigma)
         c2_f = self._foreign_dump(np.asarray(ct.c2.residues_np()), sigma)
-        c1 = np.stack([bridge_to_ours(r, perms) for r in c1_f])
-        c2 = np.stack([bridge_to_ours(r, perms) for r in c2_f])
+        c1 = bridge.to_ours(c1_f)
+        c2 = bridge.to_ours(c2_f)
         ct2 = PvwCiphertext(
             Poly.from_residues_np(c1, ring, Representation.Ntt),
             Poly.from_residues_np(c2, ring, Representation.Ntt),
@@ -170,8 +141,8 @@ class TestReferenceVectors:
         if "ntt_probe" not in case:
             pytest.skip("no ntt_probe section")
         params = _params_from(case)
-        perms = solve_ntt_bridge(params, case["ntt_probe"])
-        assert len(perms) == params.ring.num_limbs
+        bridge = solve_ntt_bridge(params, case["ntt_probe"])
+        assert len(bridge.perms) == params.ring.num_limbs
 
     def test_delta_and_gadget(self, path):
         case = self._load(path)
@@ -179,7 +150,7 @@ class TestReferenceVectors:
         if "delta" in case:
             assert params.delta() == int(case["delta"])
         if "gadget_powerbasis" in case:
-            ours = params.gadget_polynomial().residues_np()
+            ours = params.gadget_polynomial().to_power_basis().residues_np()
             assert np.array_equal(ours, _res_np(case["gadget_powerbasis"]))
 
     def test_crs_deterministic(self, path):
@@ -189,7 +160,7 @@ class TestReferenceVectors:
         from pvw_tpu.params.crs import PvwCrs
 
         params = _params_from(case)
-        perms = solve_ntt_bridge(params, case["ntt_probe"])
+        bridge = solve_ntt_bridge(params, case["ntt_probe"])
         crs = PvwCrs.new_deterministic(params, bytes.fromhex(
             case["crs"]["seed"]))
         ours = crs.matrix.residues_np()            # [k, k, L, l]
@@ -197,7 +168,7 @@ class TestReferenceVectors:
         for i in range(k):
             for j in range(k):
                 theirs = bridge_to_ours(
-                    _res_np(case["crs"]["ntt_residues"][i * k + j]), perms)
+                    _res_np(case["crs"]["ntt_residues"][i * k + j]), bridge)
                 assert np.array_equal(ours[i, j], theirs), f"A[{i}][{j}]"
 
     def test_decrypt_reference_ciphertext(self, path):
@@ -205,25 +176,10 @@ class TestReferenceVectors:
         if "ciphertext" not in case or "secret_keys" not in case:
             pytest.skip("no ciphertext section")
         from pvw_tpu.crypto.decryption import decrypt_party_value
-        from pvw_tpu.crypto.encryption import PvwCiphertext
-        from pvw_tpu.keys.secret_key import SecretKey
-        from pvw_tpu.poly import Poly, Representation
+        from pvw_tpu.interop import load_case
 
-        params = _params_from(case)
-        perms = solve_ntt_bridge(params, case["ntt_probe"])
-        ct_d = case["ciphertext"]
-        c1 = np.stack([bridge_to_ours(_res_np(r), perms)
-                       for r in ct_d["c1_ntt"]])
-        c2 = np.stack([bridge_to_ours(_res_np(r), perms)
-                       for r in ct_d["c2_ntt"]])
-        ct = PvwCiphertext(
-            Poly.from_residues_np(c1, params.ring, Representation.Ntt),
-            Poly.from_residues_np(c2, params.ring, Representation.Ntt),
-            params,
-        )
-        ct.validate()
-        for idx, sk_d in enumerate(case["secret_keys"]):
-            sk = SecretKey.from_coefficients(
-                np.array(sk_d["coeffs"], np.int64), params)
+        loaded = load_case(case)
+        ct = loaded.ciphertext
+        for idx, sk in enumerate(loaded.secret_keys):
             got = decrypt_party_value(ct, sk, idx)
-            assert got == int(ct_d["plaintexts"][idx]), f"party {idx}"
+            assert got == loaded.plaintexts[idx], f"party {idx}"
