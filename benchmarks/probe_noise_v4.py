@@ -115,6 +115,30 @@ def main():
     print("key-sensitive:", not np.array_equal(ohn, np.asarray(oh3)),
           flush=True)
 
+    # masked variant (round 3, the kdim>1 sharding contract): two
+    # half-range masked calls must sum mod q to the unmasked call —
+    # identical streams drawn, complementary row masks, noise AND encode
+    # each landing exactly once across the partition
+    def masked_seeds(lo, hi):
+        return jnp.concatenate([
+            kd_words, jnp.zeros(1, jnp.int32),
+            jnp.asarray([lo], jnp.int32), jnp.asarray([hi], jnp.int32),
+            jnp.zeros(1, jnp.int32)])
+
+    oa_h, oa_l = matmul_fold_scaled(
+        None, rs, ring, lhs_dig=zero_dig,
+        gen_noise=(masked_seeds(0, rows // 2), jr, bound))
+    ob_h, ob_l = matmul_fold_scaled(
+        None, rs, ring, lhs_dig=zero_dig,
+        gen_noise=(masked_seeds(rows // 2, rows), jr, bound))
+    qh = jnp.asarray(ring.q_hi).reshape(-1, 1, 1, 1)
+    ql = jnp.asarray(ring.q_lo).reshape(-1, 1, 1, 1)
+    sh, sl = u64op.addmod(oa_h, oa_l, ob_h, ob_l, qh, ql)
+    ok_mask = (np.array_equal(np.asarray(sh), ohn)
+               and np.array_equal(np.asarray(sl), np.asarray(ol)))
+    print("masked halves sum to unmasked:", ok_mask, flush=True)
+    assert ok_mask
+
     # inverse NTT -> noise coefficients (channel-major [L, l, rows, d])
     zh = jnp.transpose(oh, (2, 3, 0, 1))          # [rows, d, L, l]
     zl = jnp.transpose(ol, (2, 3, 0, 1))
