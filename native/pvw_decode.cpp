@@ -36,7 +36,15 @@ struct Big {
     int neg;                 // sign flag (value == 0 => neg == 0)
 };
 
-int g_nw = 0;  // active word count (q words + headroom handled locally)
+// Active word count for all Big arithmetic: nw(q) + 2 headroom words.
+// Every value the decode touches fits (lift acc < 64q, products < q*2^63,
+// numerators < 2q + delta); looping only over the active words instead of
+// the fixed 20 is a ~5x saving on shallow chains. Words >= na stay zero
+// (big_zero clears the full array; no op writes past na).
+// NOT thread-safe across concurrent calls with different parameter sets
+// (single global, matching the Python wrapper's usage); OpenMP workers
+// inside one call share the same na.
+int g_na = MAX_NW + 2;
 
 inline void big_zero(Big &a) {
     std::memset(a.w, 0, sizeof(a.w));
@@ -44,14 +52,14 @@ inline void big_zero(Big &a) {
 }
 
 inline bool big_is_zero(const Big &a) {
-    for (int i = 0; i < MAX_NW + 2; ++i)
+    for (int i = 0; i < g_na; ++i)
         if (a.w[i]) return false;
     return true;
 }
 
 // compare magnitudes
 inline int mag_cmp(const Big &a, const Big &b) {
-    for (int i = MAX_NW + 1; i >= 0; --i) {
+    for (int i = g_na - 1; i >= 0; --i) {
         if (a.w[i] != b.w[i]) return a.w[i] > b.w[i] ? 1 : -1;
     }
     return 0;
@@ -59,7 +67,7 @@ inline int mag_cmp(const Big &a, const Big &b) {
 
 inline void mag_add(Big &r, const Big &a, const Big &b) {
     unsigned __int128 carry = 0;
-    for (int i = 0; i < MAX_NW + 2; ++i) {
+    for (int i = 0; i < g_na; ++i) {
         unsigned __int128 s = (unsigned __int128)a.w[i] + b.w[i] + carry;
         r.w[i] = (uint64_t)s;
         carry = s >> 64;
@@ -69,7 +77,7 @@ inline void mag_add(Big &r, const Big &a, const Big &b) {
 // r = a - b, requires |a| >= |b|
 inline void mag_sub(Big &r, const Big &a, const Big &b) {
     unsigned __int128 borrow = 0;
-    for (int i = 0; i < MAX_NW + 2; ++i) {
+    for (int i = 0; i < g_na; ++i) {
         unsigned __int128 d =
             (unsigned __int128)a.w[i] - b.w[i] - borrow;
         r.w[i] = (uint64_t)d;
@@ -101,7 +109,7 @@ inline void big_sub(Big &r, const Big &a, const Big &b) {
 // r = a * m (u64), magnitude only
 inline void mag_mul_u64(Big &r, const Big &a, uint64_t m) {
     unsigned __int128 carry = 0;
-    for (int i = 0; i < MAX_NW + 2; ++i) {
+    for (int i = 0; i < g_na; ++i) {
         unsigned __int128 p = (unsigned __int128)a.w[i] * m + carry;
         r.w[i] = (uint64_t)p;
         carry = p >> 64;
@@ -113,7 +121,7 @@ inline void mag_mul_u64(Big &r, const Big &a, uint64_t m) {
 // acc += a * m (u64), magnitudes (acc.neg ignored; caller guarantees >=0)
 inline void mag_addmul_u64(Big &acc, const Big &a, uint64_t m) {
     unsigned __int128 carry = 0;
-    for (int i = 0; i < MAX_NW + 2; ++i) {
+    for (int i = 0; i < g_na; ++i) {
         unsigned __int128 p =
             (unsigned __int128)a.w[i] * m + acc.w[i] + carry;
         acc.w[i] = (uint64_t)p;
@@ -122,7 +130,7 @@ inline void mag_addmul_u64(Big &acc, const Big &a, uint64_t m) {
 }
 
 inline int bit_length(const Big &a) {
-    for (int i = MAX_NW + 1; i >= 0; --i) {
+    for (int i = g_na - 1; i >= 0; --i) {
         if (a.w[i]) {
             int b = 64;
             uint64_t v = a.w[i];
@@ -138,7 +146,7 @@ inline int bit_length(const Big &a) {
 
 inline void mag_shl1(Big &a) {
     uint64_t carry = 0;
-    for (int i = 0; i < MAX_NW + 2; ++i) {
+    for (int i = 0; i < g_na; ++i) {
         uint64_t nc = a.w[i] >> 63;
         a.w[i] = (a.w[i] << 1) | carry;
         carry = nc;
@@ -147,7 +155,7 @@ inline void mag_shl1(Big &a) {
 
 inline void mag_shr1(Big &a) {
     uint64_t carry = 0;
-    for (int i = MAX_NW + 1; i >= 0; --i) {
+    for (int i = g_na - 1; i >= 0; --i) {
         uint64_t nc = a.w[i] & 1;
         a.w[i] = (a.w[i] >> 1) | (carry << 63);
         carry = nc;
@@ -175,11 +183,12 @@ inline void mag_mod(Big &r, const Big &a, const Big &m) {
 // truncated division magnitude by u64 divisor: q = a / d, also remainder
 inline uint64_t mag_div_u64(Big &q, const Big &a, uint64_t d) {
     unsigned __int128 rem = 0;
-    for (int i = MAX_NW + 1; i >= 0; --i) {
+    for (int i = g_na - 1; i >= 0; --i) {
         unsigned __int128 cur = (rem << 64) | a.w[i];
         q.w[i] = (uint64_t)(cur / d);
         rem = cur % d;
     }
+    for (int i = g_na; i < MAX_NW + 2; ++i) q.w[i] = 0;
     q.neg = 0;
     return (uint64_t)rem;
 }
@@ -225,6 +234,7 @@ struct DecodeCtx {
     Big dpow;       // delta^(l-1)
     Big half_dpow;  // dpow / 2 (truncated)
     uint64_t delta; // < 2^63
+    uint64_t delta_mod[64];      // delta % q_j per limb
 };
 
 inline uint64_t mulmod_u64(uint64_t a, uint64_t b, uint64_t m) {
@@ -255,85 +265,107 @@ inline void lift_center(Big &out, const DecodeCtx &c,
     center_mod_q(out, c.q, c.half_q);
 }
 
-// decode one message; coeff residues laid out [L, ell] row-major
+// signed multiword -> canonical residue mod a u64 modulus
+inline uint64_t signed_mod_u64(const Big &a, uint64_t q) {
+    unsigned __int128 rem = 0;
+    for (int i = g_na - 1; i >= 0; --i)
+        rem = ((rem << 64) | a.w[i]) % q;
+    uint64_t r = (uint64_t)rem;
+    if (a.neg && r) r = q - r;
+    return r;
+}
+
+// decode one message; coeff residues laid out [L, ell] row-major.
+//
+// The tmp chain and Horner fold (decryption.rs:19-33) run in RNS: every
+// step is mod q, and the residues mod each q_j of the centered
+// coefficients ARE the input residues (zc[i] == res[i,j] mod q_j) — the
+// same derivation as the on-device decode (pvw_tpu/crypto/
+// device_decode.py). Full CRT lifts happen only where the algorithm
+// genuinely compares or divides: the Horner result, the ell-1 backward
+// numerators, and zc[0] — replacing the multiword shift-subtract
+// reductions of the earlier all-Big form (~2x single-message decode).
 uint64_t decode_one(const DecodeCtx &c, const uint64_t *res) {
     const int ell = c.ell;
-    Big zc[64];   // centered coefficients, ell <= 64 always (l <= 32 spec)
-    for (int j = 0; j < ell; ++j) lift_center(zc[j], c, res + j, ell);
+    const int L = c.L;
 
-    // tmp[i] = (zc[i]*delta - zc[i+1]) mod q   (as residues in [0, q))
-    Big tmp[64];
-    for (int i = 0; i < ell - 1; ++i) {
-        Big t, u;
-        mag_mul_u64(t, zc[i], c.delta);       // signed * u64
-        big_sub(u, t, zc[i + 1]);
-        to_residue(tmp[i], u, c.q);
-    }
-
-    // Horner: last = ((tmp0*delta)+tmp1)*delta... mod q
-    Big last = tmp[0];
-    for (int i = 1; i < ell - 1; ++i) {
-        Big t, u;
-        mag_mul_u64(t, last, c.delta);
-        big_add(u, t, tmp[i]);
-        to_residue(last, u, c.q);
+    // tmp[i] = zc[i]*delta - zc[i+1] mod q, Horner fold — per limb
+    uint64_t tmp[64][64];   // [pos][limb], residues in [0, q_j)
+    uint64_t last[64];
+    for (int j = 0; j < L; ++j) {
+        const uint64_t q = c.moduli[j];
+        const uint64_t dm = c.delta_mod[j];
+        const uint64_t *rj = res + (size_t)j * ell;
+        for (int i = 0; i < ell - 1; ++i) {
+            uint64_t p = mulmod_u64(rj[i], dm, q);
+            uint64_t s = rj[i + 1];
+            tmp[i][j] = p >= s ? p - s : p + q - s;
+        }
+        uint64_t lastj = tmp[0][j];
+        for (int i = 1; i < ell - 1; ++i) {
+            lastj = mulmod_u64(lastj, dm, q);
+            lastj += tmp[i][j];
+            if (lastj >= q) lastj -= q;
+        }
+        last[j] = lastj;
     }
 
     // reduce mod delta^(l-1): a centered; rust % (sign of dividend); then
     // half-mod centering
-    Big a = last;
-    center_mod_q(a, c.q, c.half_q);
+    Big a;
+    lift_center(a, c, last, 1);
     Big red;
     mag_mod(red, a, c.dpow);
     red.neg = (a.neg && !big_is_zero(red)) ? 1 : 0;
     // if red > half: red -= m; if red < -half: red += m
-    if (!red.neg && mag_cmp(red, c.half_dpow) > 0) {
-        // red -= dpow: red < dpow, so the result is -(dpow - red)
+    if (mag_cmp(red, c.half_dpow) > 0) {
         Big t;
         mag_sub(t, c.dpow, red);
+        int flip = red.neg ? 0 : 1;
         red = t;
-        red.neg = 1;
-    } else if (red.neg && mag_cmp(red, c.half_dpow) > 0) {
-        Big t;
-        mag_sub(t, c.dpow, red);
-        red = t;
-        red.neg = 0;
+        red.neg = big_is_zero(red) ? 0 : flip;
     }
-    Big tmp_last;
-    to_residue(tmp_last, red, c.q);
 
     // backward: noise[i] = round-div((noise[i+1] - tmp[i]) centered, delta)
-    Big noise_next = tmp_last;  // residues in [0, q)
+    uint64_t noise[64];     // noise[i+1] as residues mod q_j
+    for (int j = 0; j < L; ++j) noise[j] = signed_mod_u64(red, c.moduli[j]);
+    Big quot;
+    big_zero(quot);
     const uint64_t two_delta_lo = c.delta * 2;  // delta < 2^63 so exact
     for (int i = ell - 2; i >= 0; --i) {
-        Big num, an;
-        big_sub(num, noise_next, tmp[i]);  // both residues >= 0
-        to_residue(an, num, c.q);
-        center_mod_q(an, c.q, c.half_q);
-        // (2a +/- delta) / (2 delta), truncated toward zero
-        Big twice;
-        mag_mul_u64(twice, an, 2);  // keeps sign
+        uint64_t num[64];
+        for (int j = 0; j < L; ++j) {
+            const uint64_t q = c.moduli[j];
+            uint64_t nj = noise[j], tj = tmp[i][j];
+            num[j] = nj >= tj ? nj - tj : nj + q - tj;
+        }
+        Big an;
+        lift_center(an, c, num, 1);
+        // (2a +/- delta) / (2 delta), truncated toward zero: in magnitude
+        // the numerator is always 2|a| + delta and the sign follows a
+        Big numr;
+        mag_add(numr, an, an);
         Big dconst;
         big_zero(dconst);
         dconst.w[0] = c.delta;
-        Big numr;
-        if (an.neg) {
-            big_sub(numr, twice, dconst);
-        } else {
-            big_add(numr, twice, dconst);
-        }
-        Big quot;
-        mag_div_u64(quot, numr, two_delta_lo);
-        quot.neg = numr.neg && !big_is_zero(quot) ? 1 : 0;
-        to_residue(noise_next, quot, c.q);
+        Big t;
+        mag_add(t, numr, dconst);
+        mag_div_u64(quot, t, two_delta_lo);
+        quot.neg = an.neg && !big_is_zero(quot) ? 1 : 0;
+        for (int j = 0; j < L; ++j)
+            noise[j] = signed_mod_u64(quot, c.moduli[j]);
     }
 
-    // plaintext = (-zc0 - noise0) mod q, centered, clamped
-    Big nz0 = zc[0];
+    // plaintext = (-zc0 - noise0) mod q, centered, clamped; noise[0] is
+    // the final quot (signed)
+    uint64_t col0[64];
+    for (int j = 0; j < L; ++j) col0[j] = res[(size_t)j * ell];
+    Big zc0;
+    lift_center(zc0, c, col0, 1);
+    Big nz0 = zc0;
     nz0.neg = nz0.neg ? 0 : (big_is_zero(nz0) ? 0 : 1);
     Big pt_signed;
-    // noise_next currently holds noise[0] as residue
-    big_sub(pt_signed, nz0, noise_next);
+    big_sub(pt_signed, nz0, quot);
     Big val;
     to_residue(val, pt_signed, c.q);
     Big mf = val;
@@ -342,17 +374,17 @@ uint64_t decode_one(const DecodeCtx &c, const uint64_t *res) {
     if (mf.neg) {
         // |mf| <= 1000 -> 0
         bool small = true;
-        for (int i = 1; i < MAX_NW + 2; ++i)
+        for (int i = 1; i < g_na; ++i)
             if (mf.w[i]) small = false;
         if (small && mf.w[0] <= 1000) return 0;
         Big pos;
         mag_sub(pos, c.q, mf);  // (mf + q) with mf negative magnitude
         // fits u64?
-        for (int i = 1; i < MAX_NW + 2; ++i)
+        for (int i = 1; i < g_na; ++i)
             if (pos.w[i]) return 0;
         return pos.w[0];
     }
-    for (int i = 1; i < MAX_NW + 2; ++i)
+    for (int i = 1; i < g_na; ++i)
         if (mf.w[i]) return 0;
     return mf.w[0];
 }
@@ -382,6 +414,8 @@ int pvw_decode_batch(const uint64_t *residues, int64_t count, int32_t L,
         c.q.w[i] = q_words[i];
         c.dpow.w[i] = dpow_words[i];
     }
+    g_na = nw + 2 > MAX_NW + 2 ? MAX_NW + 2 : nw + 2;
+    for (int i = 0; i < L; ++i) c.delta_mod[i] = delta % moduli[i];
     c.half_q = c.q;
     mag_shr1(c.half_q);
     c.half_dpow = c.dpow;
@@ -389,7 +423,7 @@ int pvw_decode_batch(const uint64_t *residues, int64_t count, int32_t L,
     c.delta = delta;
 
 #ifdef _OPENMP
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (count > 1)
 #endif
     for (int64_t i = 0; i < count; ++i) {
         out[i] = decode_one(c, residues + (size_t)i * L * ell);
@@ -403,23 +437,21 @@ int pvw_decode_batch(const uint64_t *residues, int64_t count, int32_t L,
 // rounding decode — the whole of decryption.rs:249-278 without touching
 // the accelerator. Routed to by pvw_tpu.crypto.decryption when the batch
 // is below the device-dispatch crossover (BASELINE.md "adaptive decode
-// routing").
-//
-// Layouts (row-major, innermost contiguous):
-//   sk      [k, L, ell]   NTT-domain residues
-//   c1      [d, k, L, ell]
-//   c2      [d, L, ell]
-//   ntt_inv [L, ell, ell]
-int pvw_decrypt_decode_batch(
-    const uint64_t *sk, const uint64_t *c1, const uint64_t *c2,
-    int64_t d, int32_t k, int32_t L, int32_t ell, const uint64_t *moduli,
-    const uint64_t *ntt_inv, const uint64_t *qhat_inv,
-    const uint64_t *qhat_words, const uint64_t *q_words,
-    const uint64_t *dpow_words, int32_t nw, uint64_t delta, uint64_t *out) {
+// routing"). c1/c2 arrive as the uint32 hi/lo pairs the library stores
+// natively, in the NATIVE [k, d, L, ell] / [d, L, ell] layouts — no
+// 64-bit join and no axis permutation on the Python side (that
+// preprocessing was ~25% of the single-message host-path latency).
+int pvw_decrypt_decode_pairs(
+    const uint64_t *sk, const uint32_t *c1h, const uint32_t *c1l,
+    const uint32_t *c2h, const uint32_t *c2l, int64_t d, int32_t k,
+    int32_t L, int32_t ell, const uint64_t *moduli, const uint64_t *ntt_inv,
+    const uint64_t *qhat_inv, const uint64_t *qhat_words,
+    const uint64_t *q_words, const uint64_t *dpow_words, int32_t nw,
+    uint64_t delta, uint64_t *out) {
     if (nw > MAX_NW || ell > 64 || delta >= (1ull << 63) || L > 64)
         return 1;
     for (int i = 0; i < L; ++i)
-        if (moduli[i] >= (1ull << 62)) return 1;  // lazy-accumulator budget
+        if (moduli[i] >= (1ull << 62)) return 1;
     DecodeCtx c;
     c.L = L;
     c.ell = ell;
@@ -433,6 +465,8 @@ int pvw_decrypt_decode_batch(
         c.q.w[i] = q_words[i];
         c.dpow.w[i] = dpow_words[i];
     }
+    g_na = nw + 2 > MAX_NW + 2 ? MAX_NW + 2 : nw + 2;
+    for (int i = 0; i < L; ++i) c.delta_mod[i] = delta % moduli[i];
     c.half_q = c.q;
     mag_shr1(c.half_q);
     c.half_dpow = c.dpow;
@@ -444,25 +478,27 @@ int pvw_decrypt_decode_batch(
 #pragma omp parallel for schedule(static) if (d > 1)
 #endif
     for (int64_t dd = 0; dd < d; ++dd) {
-        uint64_t z[64 * 64];   // [L, ell] NTT-domain noisy message
-        uint64_t pb[64 * 64];  // [L, ell] PowerBasis residues
-        const uint64_t *c1d = c1 + (size_t)dd * k * Ll;
-        const uint64_t *c2d = c2 + (size_t)dd * Ll;
+        uint64_t z[64 * 64];
+        uint64_t pb[64 * 64];
+        const uint32_t *c2hd = c2h + (size_t)dd * Ll;
+        const uint32_t *c2ld = c2l + (size_t)dd * Ll;
         for (int i = 0; i < L; ++i) {
             const uint64_t q = moduli[i];
             for (int j = 0; j < ell; ++j) {
                 const size_t x = (size_t)i * ell + j;
-                // products < 2^124 (q < 2^62): reduce every 8 adds
                 unsigned __int128 acc = 0;
                 for (int kk = 0; kk < k; ++kk) {
-                    acc += (unsigned __int128)sk[(size_t)kk * Ll + x] *
-                           c1d[(size_t)kk * Ll + x];
+                    const size_t ix = ((size_t)kk * d + dd) * Ll + x;
+                    const uint64_t v =
+                        ((uint64_t)c1h[ix] << 32) | c1l[ix];
+                    acc += (unsigned __int128)sk[(size_t)kk * Ll + x] * v;
                     if ((kk & 7) == 7) acc %= q;
                 }
                 uint64_t zz = (uint64_t)(acc % q);
-                z[x] = (zz + q - c2d[x]) % q;
+                const uint64_t c2v =
+                    ((uint64_t)c2hd[x] << 32) | c2ld[x];
+                z[x] = (zz + q - c2v) % q;
             }
-            // inverse NTT: pb[j2] = sum_j inv[j2, j] * z[j] mod q
             const uint64_t *inv = ntt_inv + (size_t)i * ell * ell;
             for (int j2 = 0; j2 < ell; ++j2) {
                 unsigned __int128 acc = 0;
@@ -479,5 +515,5 @@ int pvw_decrypt_decode_batch(
     return 0;
 }
 
-int pvw_decode_version() { return 2; }
+int pvw_decode_version() { return 3; }
 }

@@ -157,13 +157,12 @@ def _host_decrypt(params: PvwParameters, secret_key: SecretKey,
     """Full host decrypt of d messages (mode ``host``): c1 [k, d, L, l],
     c2 [d, L, l] (device or host arrays — fetched if needed). Callers
     must have checked ``decrypt_decode_supported``."""
-    from ..utils.native_decode import decrypt_decode_native
+    from ..utils.native_decode import decrypt_decode_pairs_native
 
     sk_res = secret_key.host_ntt_residues()
-    c1 = u64op.join_u64_np(np.asarray(c1_hi), np.asarray(c1_lo))
-    c2 = u64op.join_u64_np(np.asarray(c2_hi), np.asarray(c2_lo))
-    c1 = np.ascontiguousarray(np.moveaxis(c1, 1, 0))        # [d, k, L, l]
-    out = decrypt_decode_native(sk_res, c1, c2, params)
+    out = decrypt_decode_pairs_native(
+        sk_res, np.asarray(c1_hi), np.asarray(c1_lo),
+        np.asarray(c2_hi), np.asarray(c2_lo), params)
     if out is None:  # pragma: no cover — support pre-checked by router
         raise RuntimeError("native host decrypt unexpectedly unavailable")
     return out

@@ -81,7 +81,7 @@ class SecretKey:
     def host_ntt_residues(self) -> np.ndarray:
         """uint64 [k, L, l] NTT-domain residues, host-resident and cached
         — the secret-key operand of the native host decrypt path
-        (:func:`pvw_tpu.utils.native_decode.decrypt_decode_native`)."""
+        (:func:`pvw_tpu.utils.native_decode.decrypt_decode_pairs_native`)."""
         if self._host_ntt_cache is None:
             self._host_ntt_cache = self.to_polynomials().residues_np()
         return self._host_ntt_cache

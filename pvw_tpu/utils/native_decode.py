@@ -65,9 +65,10 @@ def _lib():
         ctypes.POINTER(ctypes.c_uint64),  # out
     ]
     p64 = ctypes.POINTER(ctypes.c_uint64)
-    lib.pvw_decrypt_decode_batch.restype = ctypes.c_int
-    lib.pvw_decrypt_decode_batch.argtypes = [
-        p64, p64, p64,                    # sk, c1, c2
+    p32 = ctypes.POINTER(ctypes.c_uint32)
+    lib.pvw_decrypt_decode_pairs.restype = ctypes.c_int
+    lib.pvw_decrypt_decode_pairs.argtypes = [
+        p64, p32, p32, p32, p32,          # sk, c1 hi/lo, c2 hi/lo
         ctypes.c_int64,                   # d
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # k, L, ell
         p64,                              # moduli
@@ -118,7 +119,7 @@ def _inv_tables(ring):
 
 
 def decrypt_decode_supported(params) -> bool:
-    """True when the full host decrypt (:func:`decrypt_decode_native`) can
+    """True when the full host decrypt (:func:`decrypt_decode_pairs_native`) can
     run this parameter set: native lib built, delta < 2^63, q within the
     word budget, every modulus < 2^62 (lazy-accumulator headroom)."""
     if _lib() is None or _ctx_tables(params) is None:
@@ -126,38 +127,51 @@ def decrypt_decode_supported(params) -> bool:
     return all(m < 1 << 62 for m in params.ring.moduli)
 
 
-def decrypt_decode_native(sk_res: np.ndarray, c1_res: np.ndarray,
-                          c2_res: np.ndarray, params) -> list[int] | None:
-    """Full host decryption: z = <s, c1> - c2 (NTT-domain contraction),
-    inverse NTT, and the sequential-rounding decode, all in C++ — the
-    single/small-batch latency path (``decryption.rs:249-278`` without an
-    accelerator dispatch).
-
-    sk_res uint64 [k, L, l] (NTT residues); c1_res [d, k, L, l];
-    c2_res [d, L, l]. Returns None if unsupported (caller falls back)."""
-    lib = _lib()
-    if lib is None:
-        return None
+@lru_cache(maxsize=16)
+def _decrypt_static_args(params):
+    """Pre-marshalled ctypes pointers for the per-params constant tables
+    (the pointer conversions cost ~0.5 us each; the single-message path
+    counts those)."""
     tables = _ctx_tables(params)
-    if tables is None:
-        return None
-    if any(m >= 1 << 62 for m in params.ring.moduli):
+    if tables is None or any(m >= 1 << 62 for m in params.ring.moduli):
         return None
     moduli, qhat_inv, qhat_words, q_words, dpow_words, nw, delta = tables
     inv = _inv_tables(params.ring)
-    sk = np.ascontiguousarray(sk_res, np.uint64)
-    c1 = np.ascontiguousarray(c1_res, np.uint64)
-    c2 = np.ascontiguousarray(c2_res, np.uint64)
-    d, k = c1.shape[0], c1.shape[1]
+    p64 = ctypes.POINTER(ctypes.c_uint64)
+    # the cache entry also owns the arrays, keeping the pointers alive
+    return (moduli.ctypes.data_as(p64), inv.ctypes.data_as(p64),
+            qhat_inv.ctypes.data_as(p64), qhat_words.ctypes.data_as(p64),
+            q_words.ctypes.data_as(p64), dpow_words.ctypes.data_as(p64),
+            nw, delta, (moduli, inv, qhat_inv, qhat_words, q_words,
+                        dpow_words))
+
+
+def decrypt_decode_pairs_native(sk_res: np.ndarray, c1h, c1l, c2h, c2l,
+                                params) -> list[int] | None:
+    """Full host decryption from uint32 hi/lo pairs in the library's
+    NATIVE layouts — sk_res uint64 [k, L, l]; c1 pair [k, d, L, l];
+    c2 pair [d, L, l] — no 64-bit join or axis moves on the Python side
+    (the single-message latency path). Returns None if unsupported."""
+    lib = _lib()
+    if lib is None:
+        return None
+    statics = _decrypt_static_args(params)
+    if statics is None:
+        return None
+    c1h = np.ascontiguousarray(c1h, np.uint32)
+    c1l = np.ascontiguousarray(c1l, np.uint32)
+    c2h = np.ascontiguousarray(c2h, np.uint32)
+    c2l = np.ascontiguousarray(c2l, np.uint32)
+    k, d = c1h.shape[0], c1h.shape[1]
     out = np.zeros(d, np.uint64)
     p64 = ctypes.POINTER(ctypes.c_uint64)
-    rc = lib.pvw_decrypt_decode_batch(
-        sk.ctypes.data_as(p64), c1.ctypes.data_as(p64),
-        c2.ctypes.data_as(p64), d, k, params.ring.num_limbs, params.l,
-        moduli.ctypes.data_as(p64), inv.ctypes.data_as(p64),
-        qhat_inv.ctypes.data_as(p64), qhat_words.ctypes.data_as(p64),
-        q_words.ctypes.data_as(p64), dpow_words.ctypes.data_as(p64),
-        nw, delta, out.ctypes.data_as(p64),
+    p32 = ctypes.POINTER(ctypes.c_uint32)
+    rc = lib.pvw_decrypt_decode_pairs(
+        sk_res.ctypes.data_as(p64),
+        c1h.ctypes.data_as(p32), c1l.ctypes.data_as(p32),
+        c2h.ctypes.data_as(p32), c2l.ctypes.data_as(p32),
+        d, k, params.ring.num_limbs, params.l, *statics[:8],
+        out.ctypes.data_as(p64),
     )
     if rc != 0:
         return None
