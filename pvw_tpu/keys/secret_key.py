@@ -83,7 +83,8 @@ class SecretKey:
         — the secret-key operand of the native host decrypt path
         (:func:`pvw_tpu.utils.native_decode.decrypt_decode_pairs_native`)."""
         if self._host_ntt_cache is None:
-            self._host_ntt_cache = self.to_polynomials().residues_np()
+            self._host_ntt_cache = np.ascontiguousarray(
+                self.to_polynomials().residues_np())
         return self._host_ntt_cache
 
     def get_polynomial(self, index: int) -> Poly:

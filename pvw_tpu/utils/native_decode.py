@@ -158,6 +158,10 @@ def decrypt_decode_pairs_native(sk_res: np.ndarray, c1h, c1l, c2h, c2l,
     statics = _decrypt_static_args(params)
     if statics is None:
         return None
+    # np.asarray of accelerator arrays (and ufunc outputs over them) can
+    # carry non-C-contiguous strides; .ctypes.data on such an array
+    # silently hands C++ the base buffer in the wrong element order
+    sk_res = np.ascontiguousarray(sk_res, np.uint64)
     c1h = np.ascontiguousarray(c1h, np.uint32)
     c1l = np.ascontiguousarray(c1l, np.uint32)
     c2h = np.ascontiguousarray(c2h, np.uint32)

@@ -73,6 +73,36 @@ def test_host_decrypt_matches_oracle(n, k, l, moduli):
     assert got == want
 
 
+def test_host_decrypt_noncontiguous_inputs():
+    """np.asarray of accelerator arrays can carry non-C-contiguous
+    strides; the ctypes bridge must not hand C++ the base buffer in the
+    wrong element order (TPU regression, round 3)."""
+    params = _params(8, 32, 8, (0xFFFFC4001, 0x1FFFFE0001))
+    if not native_decode.decrypt_decode_supported(params):
+        pytest.skip("native engine unavailable")
+    sk = SecretKey.random(params, jax.random.key(2))
+    d = 3
+    c1, c2 = _rand_operands(params, d, seed=9)
+    c1h, c1l = u64op.split_u64_np(c1)
+    c2h, c2l = u64op.split_u64_np(c2)
+    want = dec._host_decrypt(params, sk, c1h, c1l, c2h, c2l)
+
+    def scramble(a):
+        # a transposed copy re-transposed: same values, F-order strides
+        return np.asfortranarray(a)
+
+    got = dec._host_decrypt(params, sk, scramble(c1h), scramble(c1l),
+                            scramble(c2h), scramble(c2l))
+    assert got == want
+    # and a non-contiguous secret-key cache
+    sk._host_ntt_cache = scramble(sk.host_ntt_residues())
+    from pvw_tpu.utils.native_decode import decrypt_decode_pairs_native
+
+    got2 = decrypt_decode_pairs_native(
+        sk._host_ntt_cache, c1h, c1l, c2h, c2l, params)
+    assert got2 == want
+
+
 def test_adaptive_routing_thresholds():
     params = _params(8, 32, 8, (0xFFFFC4001, 0x1FFFFE0001))
     assert dec._decode_mode(params, d=1) == "host"
@@ -98,6 +128,36 @@ def test_routing_falls_back_without_native(monkeypatch):
                         lambda p: False)
     monkeypatch.setenv("PVW_TPU_DECODE", "host")
     assert dec._decode_mode(params, d=1) in ("device", "native")
+
+
+def test_threshold_routes_to_host_for_small_subsets():
+    """decrypt_valid_shares with a small valid subset takes the host
+    route by default and must agree with the device route."""
+    from pvw_tpu import GlobalPublicKey, Party, PvwCrs
+    from pvw_tpu.crypto.encryption import encrypt_all_party_shares_batched
+    from pvw_tpu.crypto.threshold import decrypt_valid_shares
+
+    params = _params(8, 32, 8, (0xFFFFC4001, 0x1FFFFE0001))
+    key = jax.random.key(11)
+    crs = PvwCrs.new(params, jax.random.fold_in(key, 0))
+    parties = [Party.new(i, params, jax.random.fold_in(key, 100 + i))
+               for i in range(params.n)]
+    gpk = GlobalPublicKey(crs)
+    gpk.generate_all_party_keys(parties, jax.random.fold_in(key, 1))
+    vectors = np.array(
+        [[dd * 10 + r + 1 for r in range(params.n)]
+         for dd in range(params.n)], np.uint64)
+    ct = encrypt_all_party_shares_batched(vectors, gpk,
+                                          jax.random.fold_in(key, 6))
+    valid = [1, 3, 5]
+    assert dec._decode_mode(params, len(valid)) == "host"
+    got = decrypt_valid_shares(ct, valid, 2, parties[0].secret_key, 0)
+    os.environ["PVW_TPU_DECODE"] = "device"
+    try:
+        want = decrypt_valid_shares(ct, valid, 2, parties[0].secret_key, 0)
+    finally:
+        del os.environ["PVW_TPU_DECODE"]
+    assert got == want == [(i, int(vectors[i][0])) for i in valid]
 
 
 def test_host_decrypt_roundtrip_end_to_end():
