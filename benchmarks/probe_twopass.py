@@ -155,6 +155,20 @@ def pass1_dot(lhs_dig, rhs_scaled, ring):
     return p.reshape(L * S, m, nd, n)
 
 
+@jax.jit
+def pass1_dot_pre(lhs_dig, r2):
+    """Pass 1 with the rhs ALREADY in dot layout [L, S, kd, nd*n] — the
+    dot + column spill alone, no per-call operand transpose."""
+    L, S, m, kd = lhs_dig.shape
+    n2 = r2.shape[3]
+    p = jax.lax.dot_general(
+        lhs_dig, r2,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32,
+    )
+    return p.reshape(L * S, m, -1)
+
+
 def sync(x):
     leaf = jax.tree_util.tree_leaves(x)[0]
     np.asarray(leaf[(0,) * leaf.ndim])
@@ -182,8 +196,10 @@ def main():
     rng = np.random.default_rng(0)
     qs = np.array(MODULI, np.uint64).reshape(L, 1, 1, 1)
 
-    # random operands: lhs digit planes (B rows) + prescaled rhs (r)
-    lhs = (rng.integers(0, 1 << 36, (L, S, M, K), np.uint64) % qs)
+    # random operands: lhs digit planes (B rows) + prescaled rhs (r);
+    # lhs_digit_planes takes the canonical poly layout [m, k, L, l]
+    lhs = (rng.integers(0, 1 << 36, (M, K, L, S), np.uint64)
+           % np.transpose(qs, (1, 2, 0, 3)))
     rhs = (rng.integers(0, 1 << 36, (L, S, K, D), np.uint64) % qs)
     lh, ll = map(jnp.asarray, u.split_u64_np(lhs))
     rh, rl = map(jnp.asarray, u.split_u64_np(rhs))
@@ -206,11 +222,21 @@ def main():
     t_dot, cols = timeit(lambda: pass1_dot(lhs_dig, rs6, ring))
     print(f"B XLA dot (pass 1):      {t_dot * 1e3:8.2f} ms", flush=True)
 
+    # B'. the dot + spill with the rhs transpose hoisted out (lower bound
+    # on any two-pass pass 1 — prep excluded entirely)
+    r2_pre = jnp.transpose(rs6, (0, 1, 2, 4, 5, 3)).reshape(
+        L, S, K * nd, nd * D)
+    jax.block_until_ready(r2_pre)
+    t_dot_pre, _ = timeit(lambda: pass1_dot_pre(lhs_dig, r2_pre))
+    print(f"B' dot, pre-laid rhs:    {t_dot_pre * 1e3:8.2f} ms", flush=True)
+
     # C. two-pass: dot + epilogue-only fold kernel
     tables = jnp.repeat(jnp.asarray(_pack_tables(ring, nd)), S, axis=0)
     tiles = _pick_tiles(M, D, K * nd, nd, 4 * nd)
     tile_m, tile_n = tiles if tiles else (256, 128)
-    tile_m = min(tile_m, M)
+    # the int32 column block is 4*nd B/elt double-buffered; cap the tile
+    # to stay inside scoped VMEM (512x128 measured OOM at nd=5)
+    tile_m = min(tile_m, M, 256)
     tile_n = min(tile_n, D)
     while M % tile_m:
         tile_m //= 2

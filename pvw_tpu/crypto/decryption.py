@@ -109,6 +109,30 @@ def _decrypt_decode_kernel_ch(params: PvwParameters, sk_hi, sk_lo,
     return device_decode.decode_residues(plan, z[0], z[1])
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _decrypt_decode_subset_kernel(params: PvwParameters, sk_hi, sk_lo,
+                                  c1_hi, c1_lo, c2_hi, c2_lo, sel):
+    """Subset decrypt: gather the selected dealer columns AND run the
+    fused decrypt-decode in ONE program — XLA fuses the gather into the
+    contraction's operand reads; dispatching the takes separately
+    measured 1.7x slower per share (benchmarks/time_threshold.py)."""
+    args = (params, sk_hi, sk_lo,
+            jnp.take(c1_hi, sel, axis=1), jnp.take(c1_lo, sel, axis=1),
+            jnp.take(c2_hi, sel, axis=0), jnp.take(c2_lo, sel, axis=0))
+    return _decrypt_decode_kernel(*args)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _decrypt_decode_subset_kernel_ch(params: PvwParameters, sk_hi, sk_lo,
+                                     c1ch_hi, c1ch_lo, c2ch_hi, c2ch_lo,
+                                     sel):
+    """Channel-major twin of :func:`_decrypt_decode_subset_kernel`."""
+    args = (params, sk_hi, sk_lo,
+            jnp.take(c1ch_hi, sel, axis=3), jnp.take(c1ch_lo, sel, axis=3),
+            jnp.take(c2ch_hi, sel, axis=2), jnp.take(c2ch_lo, sel, axis=2))
+    return _decrypt_decode_kernel_ch(*args)
+
+
 # Measured device/host crossover for the DEFAULT routing (BASELINE.md
 # "adaptive decode routing"): a single-message device dispatch costs
 # ~559 µs pipelined / ~25 ms synced over the tunnel, while the full host

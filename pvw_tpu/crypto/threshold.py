@@ -31,6 +31,8 @@ from .decryption import (
     _decode_mode,
     _decrypt_decode_kernel,
     _decrypt_decode_kernel_ch,
+    _decrypt_decode_subset_kernel,
+    _decrypt_decode_subset_kernel_ch,
     _host_decrypt,
     _messages_from_device,
     _noisy_message_kernel,
@@ -100,6 +102,13 @@ def decrypt_valid_shares(
         if ct.c1.is_channel_major and ct.c2.is_channel_major:
             c1h, c1l = ct.c1.channel_pair()            # [L, l, k, d]
             c2h, c2l = ct.c2[party_index].channel_pair()  # [L, l, d]
+            if _decode_mode(params, len(idx_list)) == "device":
+                # ONE program: the subset gather fuses into the fused
+                # decrypt-decode (separate take dispatches measured 1.7x
+                # slower per share — BASELINE.md threshold row)
+                out = _decrypt_decode_subset_kernel_ch(
+                    params, sk.hi, sk.lo, c1h, c1l, c2h, c2l, sel)
+                return list(zip(idx_list, _messages_from_device(out)))
             args = (params, sk.hi, sk.lo,
                     jnp.take(c1h, sel, axis=3), jnp.take(c1l, sel, axis=3),
                     jnp.take(c2h, sel, axis=2), jnp.take(c2l, sel, axis=2))
@@ -107,6 +116,10 @@ def decrypt_valid_shares(
         else:
             c1h, c1l = ct.c1.pair                      # [k, d, L, l]
             c2h, c2l = ct.c2.hi[party_index], ct.c2.lo[party_index]
+            if _decode_mode(params, len(idx_list)) == "device":
+                out = _decrypt_decode_subset_kernel(
+                    params, sk.hi, sk.lo, c1h, c1l, c2h, c2l, sel)
+                return list(zip(idx_list, _messages_from_device(out)))
             args = (params, sk.hi, sk.lo,
                     jnp.take(c1h, sel, axis=1), jnp.take(c1l, sel, axis=1),
                     jnp.take(c2h, sel, axis=0), jnp.take(c2l, sel, axis=0))
