@@ -34,7 +34,7 @@ DEFAULT_CONFIG = {
 def compute_golden(config) -> str:
     """Extract the raw stream-v4 noise values for ``config`` (zero-lhs
     kernel run -> inverse NTT -> centered limb-0 values) and return a
-    stable digest. Committed as tests/vectors/noise_v4_golden.json and
+    stable digest. Committed as tests/data/noise_v4_golden.json and
     re-checked by tests/test_noise_v4.py::test_v4_golden whenever a TPU
     backend is present — the hardware-PRNG pin the CPU contract tests
     cannot provide."""
@@ -82,7 +82,7 @@ def main():
         import os
 
         emit_golden(os.path.join(
-            __file__.rsplit("/", 2)[0], "tests", "vectors",
+            __file__.rsplit("/", 2)[0], "tests", "data",
             "noise_v4_golden.json"))
         return
     moduli = (0xFFFFC4001, 0x1FFFFE0001)

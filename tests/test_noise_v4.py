@@ -17,7 +17,7 @@ arithmetic contract is factored into pure functions (``v4_blockmix``,
 * the jr=2 digit split must reconstruct the sampled value.
 
 The hardware bits themselves are pinned by a committed TPU golden
-(tests/vectors/noise_v4_golden.json via benchmarks/probe_noise_v4.py),
+(tests/data/noise_v4_golden.json via benchmarks/probe_noise_v4.py),
 re-checked whenever a TPU backend is present (test_v4_golden below).
 """
 
@@ -33,7 +33,7 @@ from pvw_tpu.ops.pallas_modmat import (
     _pick_tiles, v4_blockmix, v4_digit_split, v4_reduce96,
 )
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "vectors",
+GOLDEN = os.path.join(os.path.dirname(__file__), "data",
                       "noise_v4_golden.json")
 
 
