@@ -45,7 +45,7 @@ MODULI = (0xFFFFC4001, 0x1FFFFE0001)
 BATCH = 8192
 PRESET_BATCH = {
     "pvss_8192": 2048,
-    "shares_n1024": 512,
+    "shares_n1024": 1024,
     "threshold_256bit": 512,
     "broadcast_128bit": 64,
     "secure_128_reference": 64,
