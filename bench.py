@@ -38,8 +38,9 @@ MODULI = (0xFFFFC4001, 0x1FFFFE0001)
 # per-dispatch host gap amortizes with batch. Small batches additionally
 # trip pathologically slow XLA schedules for this shape. Batch 8192 beats
 # 4096 by +4% same-session (115119 vs 110666 enc/s, round 2) — the
-# deeper pipeline amortizes the residual host gap further. The 8192
-# default applies to the HEADLINE shape only; presets default to their
+# deeper pipeline amortizes the residual host gap further (batch 16384
+# RESOURCE_EXHAUSTs HBM at the headline shape — 8192 is the ceiling).
+# The 8192 default applies to the HEADLINE shape only; presets default to their
 # own measured-best batches (BASELINE.md rows) so `--preset X` without
 # --batch reproduces the documented configuration.
 BATCH = 8192
