@@ -104,7 +104,7 @@ class PvwCiphertext:
 
 @partial(jax.jit, static_argnums=(0, 6))
 def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
-                    encode32: bool = False):
+                    encode32: bool = False, host_e1=None, host_e2=None):
     """d-batched PVW encryption.
 
     a_dig: CRS digit planes int8 [L, l, k, k*nd]; b_dig: global pk digit
@@ -115,6 +115,12 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
     ``encode32`` (static): all scalars are < 2^32 — host-checked by
     :func:`encrypt_batch` — so the in-kernel encode uses one 32-bit Shoup
     multiply and skips the i64-wrap correction.
+    ``host_e1``/``host_e2``: optional NTT-domain channel-major noise pairs
+    ([L, l, rows, d]) pre-sampled on the host for error bounds >= the
+    smallest RNS modulus (the reference's BigInt sampling path,
+    ``encryption.rs:161-173`` -> ``parameters.rs:263-284``, supports any
+    bound; device sampling cannot embed such values in one subtraction, so
+    :func:`encrypt_batch` samples them exactly with Python ints instead).
     Returns CHANNEL-MAJOR pairs c1 [L, l, k, d], c2 [L, l, n, d] — the
     layout the kernels emit; :func:`encrypt_batch` wraps them in lazy
     channel-major Polys so the [*, L, l] transpose (the third-largest
@@ -193,19 +199,22 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
     r_scaled = modmat.prescale_digits_band(r_ch, ring)  # [L,l,nd,k*nd,d]
 
     # c1 = A·r + e1                                      (encryption.rs:156-173)
-    g1 = _gen_noise(k_e1, k, params.error_bound_1, False, False)
+    g1 = (None if host_e1 is not None
+          else _gen_noise(k_e1, k, params.error_bound_1, False, False))
     if g1 is not None:
         c1h, c1l = matmul_fold_scaled(
             None, r_scaled, ring, gen_noise=g1, lhs_dig=a_dig
         )                                                       # [L,l,k,d]
     else:
-        n1 = _noise_planes(k_e1, k, params.error_bound_1)
+        n1 = (None if host_e1 is not None
+              else _noise_planes(k_e1, k, params.error_bound_1))
         c1h, c1l = matmul_fold_scaled(
             None, r_scaled, ring, noise=n1, lhs_dig=a_dig,
             noise_bound=params.error_bound_1,
         )
         if n1 is None:
-            e1h, e1l = _noise_residues_ch(k_e1, k, params.error_bound_1)
+            e1h, e1l = (host_e1 if host_e1 is not None else
+                        _noise_residues_ch(k_e1, k, params.error_bound_1))
             c1h, c1l = u64op.addmod(c1h, c1l, e1h, e1l, qh4, ql4)
 
     # encode: m·g in NTT domain, computed INSIDE the matmul kernel from the
@@ -221,20 +230,23 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
     enc = (jnp.transpose(sc_hi), jnp.transpose(sc_lo), etab)     # sc [n, d]
 
     # c2 = B·r + encode(scalars) + e2                    (encryption.rs:175-200)
-    g2 = _gen_noise(k_e2, n, params.error_bound_2, False, True)
+    g2 = (None if host_e2 is not None
+          else _gen_noise(k_e2, n, params.error_bound_2, False, True))
     if g2 is not None:
         c2h, c2l = matmul_fold_scaled(
             None, r_scaled, ring, gen_noise=g2, encode=enc, lhs_dig=b_dig,
             encode32=encode32,
         )                                                       # [L,l,n,d]
     else:
-        n2 = _noise_planes(k_e2, n, params.error_bound_2)
+        n2 = (None if host_e2 is not None
+              else _noise_planes(k_e2, n, params.error_bound_2))
         c2h, c2l = matmul_fold_scaled(
             None, r_scaled, ring, noise=n2, encode=enc, lhs_dig=b_dig,
             encode32=encode32, noise_bound=params.error_bound_2,
         )
         if n2 is None:
-            e2h, e2l = _noise_residues_ch(k_e2, n, params.error_bound_2)
+            e2h, e2l = (host_e2 if host_e2 is not None else
+                        _noise_residues_ch(k_e2, n, params.error_bound_2))
             c2h, c2l = u64op.addmod(c2h, c2l, e2h, e2l, qh4, ql4)
     return c1h, c1l, c2h, c2l                         # channel-major
 
@@ -267,6 +279,42 @@ def _scalars_to_pairs(scalars) -> tuple[jax.Array, jax.Array]:
     return jnp.asarray(hi), jnp.asarray(lo)
 
 
+def _host_noise_ch(kk: jax.Array, rows: int, d: int, bound: int, params):
+    """Exact host sampling of uniform noise in [-bound, bound] for bounds
+    >= the smallest RNS modulus (the reference's BigInt path supports any
+    bound, ``parameters.rs:263-284`` / ``uniform.rs:5-22``), returned as
+    NTT-domain channel-major pairs [L, l, rows, d] ready for the kernel's
+    post-matmul addmod. Deterministic in ``kk``."""
+    from ..sampling.uniform import sample_uniform_residues_host
+
+    ring = params.ring
+    eh, el = sample_uniform_residues_host(
+        kk, (rows, d, params.l), bound, ring
+    )                                                   # [rows, d, L, l]
+    eh, el = ntt_ops.ntt_forward((eh, el), ring)
+    return (jnp.transpose(eh, (2, 3, 0, 1)),
+            jnp.transpose(el, (2, 3, 0, 1)))
+
+
+def _host_noise_pairs(params, key: jax.Array, d: int):
+    """(host_e1, host_e2) for :func:`_encrypt_kernel` — non-None only for
+    the error bounds the device sampler cannot embed (>= min(q_i)).
+    Splits ``key`` exactly like the kernel does, so the host draw consumes
+    the same logical stream slot the device draw would have."""
+    min_q = min(params.ring.moduli)
+    if max(params.error_bound_1, params.error_bound_2) < min_q:
+        return None, None
+    _, k_e1, k_e2 = jax.random.split(key, 3)
+    host_e1 = host_e2 = None
+    if params.error_bound_1 >= min_q:
+        host_e1 = _host_noise_ch(k_e1, params.k, d, params.error_bound_1,
+                                 params)
+    if params.error_bound_2 >= min_q:
+        host_e2 = _host_noise_ch(k_e2, params.n, d, params.error_bound_2,
+                                 params)
+    return host_e1, host_e2
+
+
 def encrypt_batch(all_scalars, global_pk: GlobalPublicKey,
                   key: jax.Array) -> PvwCiphertext:
     """Encrypt d independent scalar vectors in one kernel call.
@@ -290,16 +338,15 @@ def encrypt_batch(all_scalars, global_pk: GlobalPublicKey,
             "Parameters do not satisfy correctness condition - decryption "
             "may fail"
         )
-    if max(params.error_bound_1, params.error_bound_2) >= min(params.ring.moduli):
-        raise InvalidParameters(
-            "error bounds must be smaller than the smallest RNS modulus for "
-            "the device sampling path"
-        )
     sc_hi, sc_lo = _scalars_to_pairs(arr)
     a_dig, b_dig = global_pk.encrypt_operands()
     encode32 = not bool(np.any(arr >> np.uint64(32)))
+    # bounds >= min(q_i): exact host sampling (the reference's BigInt
+    # path accepts any bound — encryption.rs:161-173)
+    host_e1, host_e2 = _host_noise_pairs(params, key, arr.shape[0])
     c1h, c1l, c2h, c2l = _encrypt_kernel(
         params, a_dig, b_dig, sc_hi, sc_lo, key, encode32,
+        host_e1, host_e2,
     )
     c1 = Poly.from_channel_major(c1h, c1l, Representation.Ntt, params.ring)
     c2 = Poly.from_channel_major(c2h, c2l, Representation.Ntt, params.ring)

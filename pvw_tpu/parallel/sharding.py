@@ -43,7 +43,8 @@ from ..sampling.uniform import (
     sample_uniform_signed_rows,
 )
 from ..crypto.encryption import (
-    PvwCiphertext, _encode_channel_major, _scalars_to_pairs,
+    PvwCiphertext, _encode_channel_major, _host_noise_pairs,
+    _scalars_to_pairs,
 )
 
 
@@ -72,7 +73,8 @@ def _modsum_gathered(parts_hi, parts_lo, ring, axis_name: str):
 
 @partial(jax.jit, static_argnums=(0, 1))
 def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
-                            a_dig, b_dig, sc_hi, sc_lo, key):
+                            a_dig, b_dig, sc_hi, sc_lo, key,
+                            host_e1=None, host_e2=None):
     """Sharded twin of ``crypto.encryption._encrypt_kernel``.
 
     Operands are the CACHED channel-major digit planes from
@@ -84,6 +86,13 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
     additionally row-blocked over recv; scalars [d, n] sharded over recv
     on the n axis. Outputs: c1 [k, d, L, l] replicated, c2 [n, d, L, l]
     row-sharded over recv.
+
+    ``host_e1``/``host_e2``: optional NTT-domain CANONICAL-layout noise
+    pairs ([k, d, L, l] replicated / [n, d, L, l] recv-sharded) for error
+    bounds >= min(q_i) — sampled exactly on the host ONCE (outside the
+    mesh), so the sharded result stays bit-identical to the single-device
+    kernel on any mesh shape (modular adds commute with the kdim
+    gather-sum).
     """
     ring = params.ring
     k, n, l = params.k, params.n, params.l
@@ -142,7 +151,7 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         parts.append(jnp.zeros(1, jnp.int32))
         return (jnp.concatenate(parts), jr, int(bound))
 
-    def shard_fn(a_dig, b_dig, sc_hi, sc_lo, key):
+    def shard_fn(a_dig, b_dig, sc_hi, sc_lo, key, he1, he2):
         k_r, k_e1, k_e2 = jax.random.split(key, 3)
         my_k = jax.lax.axis_index("kdim")
         to_ch = lambda x: jnp.transpose(x, (2, 3, 0, 1))
@@ -188,30 +197,35 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
             return upd(parts[0], s[0]), upd(parts[1], s[1])
 
         # c1 partial over the local k block, then gather+addmod over kdim.
-        # e1: in-kernel v4 (masked to this shard's k-row block at kdim>1),
-        # else v3 digit planes (whole-k) / row-block bake (kdim>1).
-        if whole_k:
+        # e1: host pair (huge bound) added post-gather, else in-kernel v4
+        # (masked to this shard's k-row block at kdim>1), else v3 digit
+        # planes (whole-k) / row-block bake (kdim>1).
+        if he1:
+            g1 = None
+        elif whole_k:
             g1 = _gen_noise_seeds(k_e1, k, params.error_bound_1, 0, False)
         else:
             g1 = _gen_noise_seeds(
                 k_e1, k, params.error_bound_1, 0, False,
                 mask=(my_k * kc, my_k * kc + kc), contract=kc)
         n1 = None
-        if whole_k and g1 is None:
+        if not he1 and whole_k and g1 is None:
             n1 = _noise_planes(k_e1, 0, k, params.error_bound_1)
         c1p_ch = matmul_fold_scaled(
             None, r_scaled, ring, noise=n1, gen_noise=g1, lhs_dig=a_dig,
             noise_bound=params.error_bound_1,
         )
         c1p = (from_ch(c1p_ch[0]), from_ch(c1p_ch[1]))
-        if g1 is None and n1 is None and kd > 1:
+        if not he1 and g1 is None and n1 is None and kd > 1:
             # each kdim shard samples ONLY its k-row block of e1 (row-keyed
             # stream: the same values the single-device draw places there)
             e1b = _noise_ntt(k_e1, my_k * kc, kc, params.error_bound_1)
             c1p = _bake_rows(c1p, e1b, my_k * kc, kc)
         c1_hi, c1_lo = _modsum_gathered(c1p[0], c1p[1], ring, "kdim")
         c1 = (c1_hi, c1_lo)
-        if g1 is None and n1 is None and kd == 1:
+        if he1:
+            c1 = modmat.poly_add(c1, he1, ring)
+        elif g1 is None and n1 is None and kd == 1:
             e1 = _noise_ntt(k_e1, 0, k, params.error_bound_1)
             c1 = modmat.poly_add(c1, e1, ring)
 
@@ -225,7 +239,9 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         glob0 = my_r * nl
         rc = -(-nl // kd)             # per-kdim-shard row block (ceil)
         blk_lo = my_k * rc            # local row offset of my block
-        if whole_k:
+        if he2:
+            g2 = None
+        elif whole_k:
             g2 = _gen_noise_seeds(k_e2, nl, params.error_bound_2, glob0,
                                   True)
         else:
@@ -233,7 +249,7 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
                 k_e2, nl, params.error_bound_2, glob0, True,
                 mask=(glob0 + blk_lo, glob0 + blk_lo + rc), contract=kc)
         n2 = None
-        if whole_k and g2 is None:
+        if not he2 and whole_k and g2 is None:
             n2 = _noise_planes(k_e2, glob0, nl, params.error_bound_2)
         c2p_ch = matmul_fold_scaled(
             None, r_scaled, ring, noise=n2, gen_noise=g2,
@@ -255,9 +271,10 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
                 sc_l = jnp.pad(sc_lo, ((0, 0), (0, pad)))
             else:
                 sc_h, sc_l = sc_hi, sc_lo
-            e2b = _noise_ntt(k_e2, glob0 + blk_lo, rc,
-                             params.error_bound_2)
-            c2p = _bake_rows(c2p, e2b, blk_lo, rc)
+            if not he2:
+                e2b = _noise_ntt(k_e2, glob0 + blk_lo, rc,
+                                 params.error_bound_2)
+                c2p = _bake_rows(c2p, e2b, blk_lo, rc)
             sc_sl = (jax.lax.dynamic_slice_in_dim(sc_h, blk_lo, rc, 1),
                      jax.lax.dynamic_slice_in_dim(sc_l, blk_lo, rc, 1))
             enc_b = _encode_channel_major(params, sc_sl[0], sc_sl[1], ring)
@@ -268,7 +285,11 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         if not whole_k and g2 is None and pad:
             c2_hi, c2_lo = c2_hi[:nl], c2_lo[:nl]
         c2 = (c2_hi, c2_lo)
-        if g2 is None and n2 is None and whole_k:
+        if he2:
+            # host pair for this shard's receiver rows, added post-gather
+            # (commutes with the kdim sum — bit-identical to single-device)
+            c2 = modmat.poly_add(c2, he2, ring)
+        elif g2 is None and n2 is None and whole_k:
             e2 = _noise_ntt(k_e2, glob0, nl, params.error_bound_2)
             c2 = modmat.poly_add(c2, e2, ring)
         return c1[0], c1[1], c2[0], c2[1]
@@ -283,10 +304,14 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
             P(None, None, "recv", "kdim"),           # B digit planes
             P(None, "recv"), P(None, "recv"),        # scalars over n axis
             P(),                                     # key replicated
+            P(),                                     # host e1 replicated
+            P("recv"),                               # host e2 row-sharded
         ),
         out_specs=(P(), P(), P("recv"), P("recv")),
         check_vma=False,
-    )(a_dig, b_dig, sc_hi, sc_lo, key)
+    )(a_dig, b_dig, sc_hi, sc_lo, key,
+      host_e1 if host_e1 is not None else (),
+      host_e2 if host_e2 is not None else ())
 
 
 def encrypt_batch_sharded(all_scalars, global_pk: GlobalPublicKey,
@@ -317,8 +342,16 @@ def encrypt_batch_sharded(all_scalars, global_pk: GlobalPublicKey,
     sc_hi, sc_lo = _scalars_to_pairs(arr)
     a_dig, b_dig = global_pk.encrypt_operands()   # cached digit planes —
     # the same encryption-invariant operands the single-device path uses
+    # bounds >= min(q_i): exact host sampling, same keys/values as the
+    # single-device path (encryption._host_noise_pairs), re-laid out
+    # canonical for the in-shard post-gather add
+    host_e1, host_e2 = _host_noise_pairs(params, key, arr.shape[0])
+    to_canon = lambda p: (jnp.transpose(p[0], (2, 3, 0, 1)),
+                          jnp.transpose(p[1], (2, 3, 0, 1)))
     c1h, c1l, c2h, c2l = _encrypt_kernel_sharded(
         params, mesh, a_dig, b_dig, sc_hi, sc_lo, key,
+        to_canon(host_e1) if host_e1 is not None else None,
+        to_canon(host_e2) if host_e2 is not None else None,
     )
     return PvwCiphertext(
         Poly(c1h, c1l, Representation.Ntt, params.ring),

@@ -21,7 +21,7 @@ from typing import Optional
 import numpy as np
 import jax
 
-from ..errors import InvalidParameters, SamplingError
+from ..errors import InvalidParameters, SamplingError, SerializationError
 from ..utils.intmath import integer_nth_root
 from .ring import RingPlan, get_ring
 
@@ -313,6 +313,19 @@ class PvwParameters:
     #    ``parameters.rs:606-664``) --------------------------------------
 
     def to_dict(self) -> dict:
+        # Limb-restricted views (restrict_limbs) carry a moduli SUBSET but
+        # full-q Δ/gadget; the 7-field serde form (parameters.rs:606-664)
+        # cannot represent that provenance — a round-trip would silently
+        # rebuild a DIFFERENT scheme (Δ from the subset product). Refuse.
+        prod = 1
+        for m in self.ring.moduli:
+            prod *= m
+        if prod != self._q_total:
+            raise SerializationError(
+                "limb-restricted parameter views cannot be serialized "
+                "(Δ/gadget derive from the full q; re-serialize the "
+                "unrestricted parameters instead)"
+            )
         return {
             "n": self.n,
             "k": self.k,
@@ -341,8 +354,9 @@ class PvwParameters:
         shard and concatenating the limb axes is bit-identical to the
         full-ring run (see :mod:`pvw_tpu.parallel.limb_parallel`).
 
-        Restricted params are ephemeral execution views: do not serialize
-        them (their to_dict cannot represent the full-q provenance)."""
+        Restricted params are ephemeral execution views: ``to_dict`` /
+        ``to_bytes`` raise :class:`SerializationError` on them (the 7-field
+        serde form cannot represent the full-q provenance)."""
         idx = tuple(int(i) for i in limb_indices)
         if not idx or any(not 0 <= i < self.ring.num_limbs for i in idx):
             raise InvalidParameters(f"invalid limb indices {idx}")
@@ -361,8 +375,16 @@ class PvwParameters:
     # -- identity ---------------------------------------------------------
 
     def __eq__(self, other: object) -> bool:
+        # field-wise, NOT via to_dict: limb-restricted views refuse to_dict
+        # but still serve as (hashable) static jit-cache keys
         return (isinstance(other, PvwParameters)
-                and self.to_dict() == other.to_dict()
+                and self.n == other.n
+                and self.k == other.k
+                and self.l == other.l
+                and self.ring.moduli == other.ring.moduli
+                and self.secret_variance == other.secret_variance
+                and self.error_bound_1 == other.error_bound_1
+                and self.error_bound_2 == other.error_bound_2
                 and self._q_total == other._q_total)
 
     def __hash__(self) -> int:

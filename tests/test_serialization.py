@@ -137,3 +137,25 @@ class TestErrors:
         p = make_params()
         obj = ser.from_bytes(p.to_bytes())
         assert isinstance(obj, PvwParameters)
+
+
+class TestRestrictedViewGuard:
+    """restrict_limbs views must REFUSE serialization: the 7-field serde
+    form (parameters.rs:606-664) rebuilds Δ/gadget from the serialized
+    moduli, so a subset view would silently round-trip into a DIFFERENT
+    scheme (VERDICT r3 weak #5)."""
+
+    def test_to_dict_raises_on_restricted_view(self):
+        from pvw_tpu.errors import SerializationError
+
+        p = make_params()
+        view = p.restrict_limbs((0, 1))
+        with pytest.raises(SerializationError):
+            view.to_dict()
+        with pytest.raises(SerializationError):
+            view.to_bytes()
+
+    def test_full_params_still_serialize(self):
+        p = make_params()
+        q = PvwParameters.from_bytes(p.to_bytes())
+        assert q == p
