@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..errors import InvalidParameters
+from ..errors import DecodingError, InternalError, InvalidParameters
 from ..keys.secret_key import SecretKey
 from ..ops import modmat, ntt as ntt_ops, u64 as u64op
 from ..params.parameters import PvwParameters
@@ -188,7 +188,7 @@ def _host_decrypt(params: PvwParameters, secret_key: SecretKey,
         sk_res, np.asarray(c1_hi), np.asarray(c1_lo),
         np.asarray(c2_hi), np.asarray(c2_lo), params)
     if out is None:  # pragma: no cover — support pre-checked by router
-        raise RuntimeError("native host decrypt unexpectedly unavailable")
+        raise InternalError("native host decrypt unexpectedly unavailable")
     return out
 
 
@@ -213,6 +213,11 @@ def decode_scalar_pvw_rns(coeff_residues: np.ndarray,
     q = params.q_total()
     delta = params.delta()
     ell = params.l
+    if tuple(coeff_residues.shape) != (ring.num_limbs, ell):
+        raise DecodingError(
+            f"residue block shape {tuple(coeff_residues.shape)} does not "
+            f"match the parameter set's [L={ring.num_limbs}, l={ell}]"
+        )
     lifted = ring.lift_to_ints(coeff_residues)       # canonical in [0, q)
     zc = [center_mod(v, q) for v in lifted]          # extract_coefficient_as_poly
 

@@ -5,9 +5,52 @@ Mirrors the reference's 19-variant ``thiserror`` enum
 Every variant is a distinct exception class so callers can catch precisely;
 all inherit :class:`PvwError` (the analogue of the Rust enum itself).
 
-The two structured variants (``DimensionMismatch``, ``IndexOutOfBounds``,
+The three structured variants (``DimensionMismatch``, ``IndexOutOfBounds``,
 ``InsufficientData``) keep their fields and reproduce the reference display
 strings.
+
+Raise-site map
+--------------
+
+The reference itself constructs only FOUR of its 19 variants anywhere in
+``src/`` (census: grep ``PvwError::`` over ``/root/reference/src`` —
+``InvalidParameters`` ×51, ``SamplingError`` ×7, ``DimensionMismatch`` ×2,
+``IndexOutOfBounds`` ×2); the rest exist as public vocabulary for the
+downstream PVSS stack. pvw-tpu preserves every reference raise site
+variant-for-variant and display-string-for-display-string, and additionally
+wires the variants that have natural Python-side failure modes:
+
+=====================  ======================================================
+Variant                Raise sites (pvw-tpu)
+=====================  ======================================================
+InvalidParameters      everywhere the reference raises it (~80 sites:
+                       builder/CRS/key/encrypt/decrypt validation)
+SamplingError          sampling/{cbd,uniform,normal}.py, params sampling
+DimensionMismatch      crs.multiply_by_randomness (crs.rs:179),
+                       PublicKey.generate k mismatch (public_key.rs:118)
+IndexOutOfBounds       crs matvecs on an undersized matrix (the dense
+                       analogue of crs.rs:158/192's ``get -> None``)
+SerializationError     restricted-view params serialization; unsupported
+                       types in utils/serialization.to_bytes
+DeserializationError   PVWT header/type/context mismatches
+InsufficientData       truncated PVWT blobs (structured byte counts)
+InvalidFormat          non-PVWT bytes, unsupported container version
+CrsError               new_deterministic seed of wrong length (Python-only:
+                       the reference takes [u8; 32] at the type level)
+EncodingError          encode_scalar outside the u64 range (Python-only:
+                       u64 is type-enforced in Rust)
+DecodingError          decode_scalar_pvw_rns residue-block shape mismatch
+ContextError           RingPlan construction failures wrapped by params
+PolynomialError        poly.py representation/layout misuse
+InternalError          "unreachable" router states (e.g. native host decrypt
+                       support revoked between check and call)
+EncryptionError        never constructed — matches the reference, which
+DecryptionError        never constructs these five anywhere in src/ either;
+KeyGenerationError     they are downstream-facing vocabulary. Deliberately
+ValidationError        NOT repurposed: their natural sites raise
+MatrixError            InvalidParameters in the reference, and changing the
+                       type would break ported error handling.
+=====================  ======================================================
 """
 
 from __future__ import annotations
@@ -192,5 +235,18 @@ class InsufficientValidCiphertexts(PvwError):
         self.threshold = threshold
 
 
-# ``PvwResult<T>`` (errors.rs:73) has no Python analogue: functions raise.
-PvwResult = None
+class PvwResult:
+    """``PvwResult<T> = Result<T, PvwError>`` (errors.rs:73), as an
+    annotation helper: Python signals the error arm by raising
+    :class:`PvwError`, so ``PvwResult[T]`` simply resolves to ``T`` —
+    ``def decrypt(...) -> PvwResult[int]`` reads like the reference
+    signature and type-checks as ``int``. Not instantiable."""
+
+    def __class_getitem__(cls, item):
+        return item
+
+    def __init__(self) -> None:
+        raise TypeError(
+            "PvwResult is an annotation alias; functions raise PvwError "
+            "instead of returning a Result"
+        )

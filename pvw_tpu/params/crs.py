@@ -13,7 +13,9 @@ from typing import Iterator, Optional
 import numpy as np
 import jax
 
-from ..errors import DimensionMismatch, InvalidParameters
+from ..errors import (
+    CrsError, DimensionMismatch, IndexOutOfBounds, InvalidParameters,
+)
 from ..ops import modmat
 from ..poly import Poly, Representation
 from ..utils.chacha import ChaCha8Rng, uniform_residues_from_seeds
@@ -45,7 +47,10 @@ class PvwCrs:
         (row-major), each expanded to uniform residues. Reproducible across
         hosts, devices and mesh shapes."""
         if len(seed) != 32:
-            raise InvalidParameters("seed must be 32 bytes")
+            # Python-only failure mode: the reference takes [u8; 32] at the
+            # type level (crs.rs:45), so this cannot occur there — surfaced
+            # as the CRS-specific variant (errors.rs:29-30)
+            raise CrsError(f"seed must be 32 bytes, got {len(seed)}")
         k = params.k
         master = ChaCha8Rng(seed)
         n_elems = k * k
@@ -117,6 +122,17 @@ class PvwCrs:
 
     # -- products -------------------------------------------------------
 
+    def _check_matrix_extent(self) -> None:
+        """Both matvec products access every element of a k×k matrix; a
+        smaller stored matrix (e.g. hand-built) is the dense-tensor
+        analogue of the reference's per-element ``get(i, j)`` returning
+        ``None`` mid-multiply (``crs.rs:158-161, 192-195``) — raised as
+        the same structured variant."""
+        shape = self.matrix.batch_shape
+        for extent in shape[:2]:
+            if extent < self.params.k:
+                raise IndexOutOfBounds(extent, self.params.k)
+
     def multiply_by_secret_key(self, secret_key) -> Poly:
         """s^T A: result[i] = Σ_j sk[j] · A[j][i] (``crs.rs:138-171``).
 
@@ -129,6 +145,7 @@ class PvwCrs:
                 f"Secret key length {sk_polys.batch_shape[0]} doesn't match "
                 f"CRS dimension k={self.params.k}"
             )
+        self._check_matrix_extent()
         lhs = (sk_polys.hi[None], sk_polys.lo[None])      # [1, k, L, l]
         hi, lo = modmat.poly_matmul(lhs, self.matrix.pair, self.params.ring)
         return Poly(hi[0], lo[0], Representation.Ntt, self.params.ring)
@@ -142,6 +159,7 @@ class PvwCrs:
         shape = randomness.batch_shape
         if shape[0] != self.params.k:
             raise DimensionMismatch(self.params.k, shape[0])
+        self._check_matrix_extent()
         squeeze = len(shape) == 1
         rh, rl = randomness.pair
         if squeeze:

@@ -21,7 +21,9 @@ from typing import Optional
 import numpy as np
 import jax
 
-from ..errors import InvalidParameters, SamplingError, SerializationError
+from ..errors import (
+    EncodingError, InvalidParameters, SamplingError, SerializationError,
+)
 from ..utils.intmath import integer_nth_root
 from .ring import RingPlan, get_ring
 
@@ -242,6 +244,11 @@ class PvwParameters:
         with ``as i64`` wrap-around (``encryption.rs:195``); pass the raw
         u64 here and the same wrap is applied."""
         s = int(scalar)
+        if not 0 <= s < 1 << 64:
+            # Python-only failure mode: the reference takes u64 at the type
+            # level, so out-of-range inputs cannot occur there
+            # (errors.rs:38-39)
+            raise EncodingError(f"scalar {s} outside the u64 range")
         if s >= 1 << 63:
             s -= 1 << 64  # u64 -> i64 wrap, encryption.rs:195
         coeffs = [s * g for g in self.gadget_vector()]

@@ -24,7 +24,9 @@ from typing import Optional
 
 import numpy as np
 
-from ..errors import DeserializationError, InvalidFormat, SerializationError
+from ..errors import (
+    DeserializationError, InsufficientData, InvalidFormat, SerializationError,
+)
 
 MAGIC = b"PVWT"
 VERSION = 1
@@ -55,7 +57,8 @@ def _unpack(data: bytes, expect_type: str) -> tuple[dict, list[np.ndarray]]:
         raise InvalidFormat(f"unsupported version {data[4]}")
     hlen = int.from_bytes(data[5:9], "little")
     if len(data) < 9 + hlen:
-        raise DeserializationError("truncated header")
+        # structured variant with byte counts (errors.rs:62-63)
+        raise InsufficientData(9 + hlen, len(data))
     try:
         header = json.loads(data[9 : 9 + hlen].decode())
     except Exception as e:  # noqa: BLE001
@@ -72,7 +75,7 @@ def _unpack(data: bytes, expect_type: str) -> tuple[dict, list[np.ndarray]]:
         itemsize = np.dtype(dt).itemsize
         nb = n * itemsize
         if len(data) < off + nb:
-            raise DeserializationError("truncated payload")
+            raise InsufficientData(off + nb, len(data))
         arr = np.frombuffer(data[off : off + nb], dtype=dt).reshape(shape)
         sections.append(arr)
         off += nb

@@ -127,11 +127,16 @@ class TestErrors:
             ser.crs_from_bytes(p.to_bytes())
 
     def test_truncated(self):
+        from pvw_tpu.errors import InsufficientData
+
         p = make_params()
         sk = SecretKey.random(p, jax.random.key(1))
         blob = sk.to_bytes()
-        with pytest.raises(DeserializationError, match="truncated"):
+        with pytest.raises(InsufficientData, match="Insufficient data") as ei:
             ser.secret_key_from_bytes(blob[: len(blob) - 4])
+        # structured fields carry the byte counts (errors.rs:62-63)
+        assert ei.value.actual == len(blob) - 4
+        assert ei.value.expected > ei.value.actual
 
     def test_generic_dispatch(self):
         p = make_params()
