@@ -95,6 +95,35 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"device: {dev} ({device_summary()})")
 
+    # Stream-v4 hardware golden re-verification (README "Noise streams &
+    # threat model"): every bench run re-checks that the TPU hardware-PRNG
+    # noise stream reproduces the committed golden bit-for-bit, so a
+    # silent generator/seed-plumbing change shows up in BENCH_r*.json even
+    # when CI (CPU-only) cannot catch it.
+    v4_golden = "skipped (non-tpu backend)"
+    if jax.default_backend() == "tpu":
+        try:
+            import json as _json
+            import os as _os
+
+            gpath = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                                  "tests", "data", "noise_v4_golden.json")
+            with open(gpath) as f:
+                golden = _json.load(f)
+            from benchmarks.probe_noise_v4 import compute_golden
+
+            got = compute_golden(golden["config"])
+            v4_golden = "ok" if got == golden["digest"] else "MISMATCH"
+        except FileNotFoundError:
+            v4_golden = "skipped (no golden committed)"
+        except Exception as e:  # noqa: BLE001 — never kill the bench
+            v4_golden = f"error: {e}"
+        log(f"stream-v4 hardware golden: {v4_golden}")
+        if v4_golden == "MISMATCH":
+            log("WARNING: v4 noise stream no longer matches the committed "
+                "golden — seed mixing / tile selection / PRNG contract "
+                "regression; throughput below is for a DIFFERENT stream")
+
     if args.preset:
         from pvw_tpu.params import presets
 
@@ -180,6 +209,7 @@ def main() -> None:
         "value": round(enc_per_s, 2),
         "unit": "encryptions/s",
         "vs_baseline": round(enc_per_s / CPU_BASELINE_ENC_PER_S, 3),
+        "v4_golden": v4_golden,
     }))
 
 

@@ -18,7 +18,8 @@ Module map (mirrors ``src/lib.rs:14-19``):
                  reference's only parallelism is a rayon thread pool)
 """
 
-from . import crypto, errors, keys, params, sampling, traits  # noqa: F401
+from . import config, crypto, errors, keys, params, sampling, traits  # noqa: F401
+from .config import settings  # noqa: F401  (runtime tuning knobs)
 from .errors import PvwError, PvwResult
 from .poly import Poly, Representation
 from .params import PvwCrs, PvwParameters, PvwParametersBuilder, RingPlan

@@ -1,0 +1,150 @@
+"""Runtime configuration — the single documented surface for every tuning
+knob in pvw-tpu.
+
+The reference's stance is "the builder is the config system" (SURVEY.md §5):
+everything mathematical lives in :class:`PvwParametersBuilder`. The knobs
+here are strictly EXECUTION tuning — which engine/stream/kernel variant runs
+the same math — and deliberately cannot change results except where
+documented (the noise stream changes the sampled noise values, never the
+scheme).
+
+Every knob is one attribute of the module-level :data:`settings` object.
+Precedence per knob: programmatic assignment > environment variable >
+default. Environment variables are re-read on access (until overridden in
+code), so ``PVW_TPU_NOISE=v3 python ...`` and
+``pvw_tpu.config.settings.noise_stream = "v3"`` are equivalent.
+
+Knobs
+-----
+
+===================  ====================  =======================================
+Attribute            Env var               Meaning (default)
+===================  ====================  =======================================
+noise_stream         PVW_TPU_NOISE         Encryption-noise stream: ``"kernel"``
+                                           (stream v4: in-kernel per-tile-seeded
+                                           TPU hardware PRNG, the fast path;
+                                           DEFAULT) or ``"v3"`` (counter-based
+                                           threefry — a specified CSPRNG,
+                                           bit-identical to the CPU backend).
+                                           See README "Noise streams & threat
+                                           model". Off-TPU always uses v3.
+decode_mode          PVW_TPU_DECODE        Decode engine: ``"auto"`` (default:
+                                           route small batches to the host
+                                           engine, everything else on-device),
+                                           ``"device"``, ``"host"``,
+                                           ``"native"``, ``"python"``.
+decode_crossover     PVW_TPU_DECODE_       Batch size below which ``auto``
+                     CROSSOVER             decodes on the host (64; measured
+                                           break-even, BASELINE.md).
+no_native            PVW_TPU_NO_NATIVE     Disable the C++ decode engine
+                                           (False; any non-empty value
+                                           disables).
+num_digits           PVW_NUM_DIGITS        Force the int8 digit width of the
+                                           modmat decomposition (default: the
+                                           minimal exact width per modulus
+                                           chain; perf experiments only).
+tile_m / tile_n      PVW_TILE_M /          Force the Pallas matmul tile (both
+                     PVW_TILE_N            must be set; default: VMEM-exact
+                                           cost-model pick; no VMEM check when
+                                           forced).
+no_pallas            PVW_NO_PALLAS         Force the XLA fallback kernels even
+                                           on TPU (False).
+dots_first           PVW_TPU_DOTS_FIRST    Kernel experiment: issue all MXU
+                                           dots before the fold (False).
+noise_value_mac      PVW_TPU_NOISE_VALS    Use the value-plane noise MAC when
+                                           its VMEM cost allows (True; set the
+                                           env var to ``0`` to force the
+                                           digit-plane MAC).
+trace                PVW_TPU_TRACE         Enable span tracing to stderr
+                                           (False).
+jax_cache_dir        PVW_TPU_JAX_CACHE     Persistent JAX compilation cache
+                                           directory (repo-local
+                                           ``.jax_cache``).
+===================  ====================  =======================================
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+_UNSET = object()
+
+
+def _parse_bool(raw: str) -> bool:
+    # exact historical semantics: any non-empty value is truthy ("0" too)
+    return bool(raw)
+
+
+class _Knob:
+    """One setting: programmatic override > env var > default."""
+
+    def __init__(self, env: str, default, parse: Callable = str) -> None:
+        self.env = env
+        self.default = default
+        self.parse = parse
+
+    def __set_name__(self, owner, name: str) -> None:
+        self.name = name
+
+    def __get__(self, obj, objtype=None):
+        if obj is None:
+            return self
+        override = obj._overrides.get(self.name, _UNSET)
+        if override is not _UNSET:
+            return override
+        raw = os.environ.get(self.env)
+        if raw is None or raw == "":
+            return self.default
+        return self.parse(raw)
+
+    def __set__(self, obj, value) -> None:
+        obj._overrides[self.name] = value
+
+    def __delete__(self, obj) -> None:
+        obj._overrides.pop(self.name, None)
+
+
+class Settings:
+    """See the module docstring for the knob table."""
+
+    noise_stream: str = _Knob("PVW_TPU_NOISE", "kernel")
+    decode_mode: str = _Knob("PVW_TPU_DECODE", "auto")
+    decode_crossover: int = _Knob("PVW_TPU_DECODE_CROSSOVER", 64, int)
+    no_native: bool = _Knob("PVW_TPU_NO_NATIVE", False, _parse_bool)
+    num_digits: Optional[int] = _Knob("PVW_NUM_DIGITS", None, int)
+    tile_m: Optional[int] = _Knob("PVW_TILE_M", None, int)
+    tile_n: Optional[int] = _Knob("PVW_TILE_N", None, int)
+    no_pallas: bool = _Knob("PVW_NO_PALLAS", False, _parse_bool)
+    dots_first: bool = _Knob("PVW_TPU_DOTS_FIRST", False,
+                             lambda raw: raw == "1")
+    noise_value_mac: bool = _Knob("PVW_TPU_NOISE_VALS", True,
+                                  lambda raw: raw != "0")
+    trace: bool = _Knob("PVW_TPU_TRACE", False, _parse_bool)
+    jax_cache_dir: Optional[str] = _Knob("PVW_TPU_JAX_CACHE", None)
+
+    def __init__(self) -> None:
+        self._overrides: dict = {}
+
+    def reset(self) -> None:
+        """Drop every programmatic override (env vars apply again)."""
+        self._overrides.clear()
+
+    def describe(self) -> dict:
+        """Current resolved value of every knob."""
+        return {
+            name: getattr(self, name)
+            for name, attr in type(self).__dict__.items()
+            if isinstance(attr, _Knob)
+        }
+
+    def use_v4_noise(self) -> bool:
+        """True when encryption noise uses the in-kernel stream (v4)."""
+        return self.noise_stream != "v3"
+
+    def __repr__(self) -> str:
+        body = ", ".join(f"{k}={v!r}" for k, v in self.describe().items())
+        return f"Settings({body})"
+
+
+settings = Settings()

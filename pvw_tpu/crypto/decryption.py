@@ -143,9 +143,9 @@ _HOST_CROSSOVER = 64
 
 
 def _host_crossover() -> int:
-    import os
+    from ..config import settings
 
-    return int(os.environ.get("PVW_TPU_DECODE_CROSSOVER", _HOST_CROSSOVER))
+    return settings.decode_crossover
 
 
 def _decode_mode(params: PvwParameters, d: int | None = None) -> str:
@@ -157,12 +157,11 @@ def _decode_mode(params: PvwParameters, d: int | None = None) -> str:
     on-device decode. Explicit modes: ``device`` (always on-device),
     ``host`` (full host decrypt), ``native`` (device contraction + native
     host decode), ``python`` (device contraction + Python oracle)."""
-    import os
-
+    from ..config import settings
     from ..utils import native_decode
 
-    no_native = bool(os.environ.get("PVW_TPU_NO_NATIVE"))
-    mode = os.environ.get("PVW_TPU_DECODE", "auto")
+    no_native = settings.no_native
+    mode = settings.decode_mode
     if mode == "auto":
         if (d is not None and d < _host_crossover() and not no_native
                 and native_decode.decrypt_decode_supported(params)):
@@ -275,9 +274,9 @@ def _decode_batch(residues: np.ndarray, params: PvwParameters) -> list[int]:
     Uses the native C++ engine (OpenMP over the batch) when available and
     the configuration is supported; falls back to the exact Python oracle.
     Set ``PVW_TPU_NO_NATIVE=1`` to force the Python path."""
-    import os
+    from ..config import settings
 
-    if not os.environ.get("PVW_TPU_NO_NATIVE"):
+    if not settings.no_native:
         from ..utils.native_decode import decode_batch_native
 
         out = decode_batch_native(residues, params)

@@ -158,12 +158,11 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
     # threefry draw was ~15% of device time and its digit planes another
     # HBM round trip. PVW_TPU_NOISE=v3 restores the threefry stream
     # (bit-identical to the CPU backend); off-TPU always uses v3.
-    import os as _os
-
+    from ..config import settings
     from ..ops.pallas_modmat import kernel_noise_available, matmul_fold_scaled
     from ..ops.ntt import signed_digit_count
 
-    use_v4 = _os.environ.get("PVW_TPU_NOISE", "kernel") != "v3"
+    use_v4 = settings.use_v4_noise()
 
     def _gen_noise(kk, rows, bound, has_post, has_encode):
         """(seeds, jr, bound) for the in-kernel PRNG path, or None."""

@@ -476,11 +476,11 @@ def _pick_tiles(m: int, n: int, kd: int, C: int, extra_mn: int = 0):
     (tile_m x tile_n) element of additional blocks (noise digits, post-add
     residues). None when nothing fits. PVW_TILE_M/PVW_TILE_N override for
     perf experiments (no VMEM check — Mosaic rejects oversize)."""
-    import os
+    from ..config import settings
 
-    fm, fn = os.environ.get("PVW_TILE_M"), os.environ.get("PVW_TILE_N")
+    fm, fn = settings.tile_m, settings.tile_n
     if fm and fn:
-        return int(fm), int(fn)
+        return fm, fn
     # Preference order measured on v5e (hardware sweep, see BASELINE.md):
     # the tall-skinny (512, 128) tile beats (256, 256) at every tested
     # shape (+5% headline, +13% at the 4-limb config — taller m-tiles
@@ -648,9 +648,9 @@ def _noise_vals_mode(ring: "RingPlan", k: int, jr: int,
     ``bound`` None (input planes of unknown bound) assumes the largest
     value jr signed-int8 digits can carry. PVW_TPU_NOISE_VALS=0 forces
     the digit-plane MAC (A/B switch)."""
-    import os
+    from ..config import settings
 
-    if os.environ.get("PVW_TPU_NOISE_VALS") == "0":
+    if not settings.noise_value_mac:
         return False
     if bound is None:
         bound = 128 * ((256 ** jr) - 1) // 255
@@ -667,11 +667,10 @@ def kernel_noise_available(ring: "RingPlan", m: int, n: int, k: int,
     backend, bound within the signed-digit range, and tiles that fit
     VMEM. Callers must check this BEFORE choosing the stream-v4 path —
     the XLA fallback cannot reproduce the hardware PRNG."""
-    import os
-
+    from ..config import settings
     from .ntt import signed_digit_count
 
-    if jax.default_backend() != "tpu" or os.environ.get("PVW_NO_PALLAS"):
+    if jax.default_backend() != "tpu" or settings.no_pallas:
         return False
     jr = signed_digit_count(bound)
     if not jr:
@@ -748,8 +747,7 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
     allows — bit-identical to the digit-plane MAC, fewer VPU ops.
     ``gen_noise`` carries its own bound.
     """
-    import os
-
+    from ..config import settings
     from . import modmat
 
     nd = ring.num_digits
@@ -793,7 +791,7 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
         return oh, ol
 
     on_tpu = jax.default_backend() == "tpu"
-    if not on_tpu or os.environ.get("PVW_NO_PALLAS"):
+    if not on_tpu or settings.no_pallas:
         if gen_noise is not None:
             raise RuntimeError("gen_noise requires the TPU Pallas path "
                                "(check kernel_noise_available first)")
@@ -889,7 +887,7 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
     post_ch = None
     if post is not None:
         post_ch = (post[0].reshape(L * S, m, n), post[1].reshape(L * S, m, n))
-    dots_first = os.environ.get("PVW_TPU_DOTS_FIRST", "0") == "1"
+    dots_first = settings.dots_first
     # seeds of length >= 6 carry a [lo, hi) global row mask (see
     # _make_fold_body ``masked``): the kdim-split mesh shards use it to
     # apply noise/encode to exactly their row block of the partial sum
@@ -934,8 +932,7 @@ def matmul_fold_auto(lhs, rhs, ring: "RingPlan"):
     flipped the verdict.) Off-TPU (tests) the XLA path avoids the
     interpreter; PVW_NO_PALLAS=1 forces XLA everywhere.
     """
-    import os
-
+    from ..config import settings
     from . import modmat
 
     (lh, ll), _ = lhs, rhs
@@ -944,7 +941,7 @@ def matmul_fold_auto(lhs, rhs, ring: "RingPlan"):
     nd, C = ring.num_digits, ring.num_columns
     kd = k * nd
     on_tpu = jax.default_backend() == "tpu"
-    if not on_tpu or os.environ.get("PVW_NO_PALLAS"):
+    if not on_tpu or settings.no_pallas:
         return modmat.matmul_channels_banded(lhs, rhs, ring)
     tiles = _pick_tiles(m, n, kd, C)
     if tiles is None:

@@ -109,13 +109,12 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         e = sample_uniform_residues_rows(kk, row_off, rows, (d, l), bound, ring)
         return ntt_ops.ntt_forward(e, ring)
 
-    import os as _os
-
+    from ..config import settings
     from ..ops.pallas_modmat import (
         kernel_noise_available, matmul_fold_scaled,
     )
 
-    use_v4 = _os.environ.get("PVW_TPU_NOISE", "kernel") != "v3"
+    use_v4 = settings.use_v4_noise()
 
     def _noise_planes(kk, row_off, rows, bound):
         """int8 digit planes [l*jr, rows, d] for the in-kernel noise NTT,

@@ -127,11 +127,10 @@ class RingPlan:
         # share one width so digit tensors stack along the limb axis.
         # PVW_NUM_DIGITS overrides (>= the minimal width; perf experiments).
         self.num_digits = max(u64op.digits_for_max(q - 1) for q in moduli)
-        import os
+        from ..config import settings
 
-        forced = os.environ.get("PVW_NUM_DIGITS")
+        forced = settings.num_digits
         if forced:
-            forced = int(forced)
             if forced < self.num_digits or forced > u64op.NUM_DIGITS:
                 raise InvalidParameters(
                     f"PVW_NUM_DIGITS={forced} outside "

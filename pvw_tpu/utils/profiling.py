@@ -33,7 +33,9 @@ class SpanRecord:
 
 class _Tracer:
     def __init__(self) -> None:
-        self.enabled = bool(os.environ.get("PVW_TPU_TRACE"))
+        from ..config import settings
+
+        self.enabled = settings.trace
         self.records: list[SpanRecord] = []
         self.sink = sys.stderr
 
@@ -111,11 +113,11 @@ def enable_compilation_cache(path: str | None = None) -> None:
     """
     import jax
 
-    path = path or os.environ.get(
-        "PVW_TPU_JAX_CACHE",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"),
-    )
+    from ..config import settings
+
+    path = path or settings.jax_cache_dir or os.path.join(
+        os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

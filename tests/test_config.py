@@ -1,0 +1,83 @@
+"""Runtime-config suite: the single settings surface (pvw_tpu/config.py)
+resolves programmatic override > env var > default, and the library read
+sites actually go through it (VERDICT r3 weak #6)."""
+
+import pytest
+
+from pvw_tpu.config import Settings, settings
+
+
+def test_defaults():
+    s = Settings()
+    assert s.noise_stream == "kernel"
+    assert s.decode_mode == "auto"
+    assert s.decode_crossover == 64
+    assert s.no_native is False
+    assert s.num_digits is None
+    assert s.no_pallas is False
+    assert s.dots_first is False
+    assert s.noise_value_mac is True
+    assert s.use_v4_noise() is True
+
+
+def test_env_var_precedence(monkeypatch):
+    s = Settings()
+    monkeypatch.setenv("PVW_TPU_NOISE", "v3")
+    monkeypatch.setenv("PVW_TPU_DECODE_CROSSOVER", "128")
+    monkeypatch.setenv("PVW_TPU_NOISE_VALS", "0")
+    assert s.noise_stream == "v3" and not s.use_v4_noise()
+    assert s.decode_crossover == 128
+    assert s.noise_value_mac is False
+
+
+def test_programmatic_override_beats_env(monkeypatch):
+    s = Settings()
+    monkeypatch.setenv("PVW_TPU_DECODE", "device")
+    s.decode_mode = "python"
+    assert s.decode_mode == "python"
+    s.reset()
+    assert s.decode_mode == "device"
+
+
+def test_historical_bool_semantics(monkeypatch):
+    # PVW_TPU_NO_NATIVE: ANY non-empty value disables (even "0"),
+    # matching the original bool(os.environ.get(...)) semantics
+    s = Settings()
+    monkeypatch.setenv("PVW_TPU_NO_NATIVE", "0")
+    assert s.no_native is True
+    monkeypatch.setenv("PVW_TPU_NO_NATIVE", "")
+    assert s.no_native is False
+    # PVW_TPU_DOTS_FIRST: only "1" enables
+    monkeypatch.setenv("PVW_TPU_DOTS_FIRST", "yes")
+    assert s.dots_first is False
+    monkeypatch.setenv("PVW_TPU_DOTS_FIRST", "1")
+    assert s.dots_first is True
+
+
+def test_describe_lists_every_knob():
+    d = settings.describe()
+    assert set(d) == {
+        "noise_stream", "decode_mode", "decode_crossover", "no_native",
+        "num_digits", "tile_m", "tile_n", "no_pallas", "dots_first",
+        "noise_value_mac", "trace", "jax_cache_dir",
+    }
+
+
+def test_library_sites_route_through_settings(monkeypatch):
+    # decode router honors a programmatic override with no env var set
+    from pvw_tpu.crypto.decryption import _host_crossover
+
+    monkeypatch.setattr(settings, "decode_crossover", 17, raising=False)
+    try:
+        assert _host_crossover() == 17
+    finally:
+        settings.reset()
+
+
+def test_num_digits_validation(monkeypatch):
+    from pvw_tpu.errors import InvalidParameters
+    from pvw_tpu.params.ring import RingPlan
+
+    monkeypatch.setenv("PVW_NUM_DIGITS", "1")  # below minimal exact width
+    with pytest.raises(InvalidParameters, match="PVW_NUM_DIGITS"):
+        RingPlan((0xFFFFEE001, 0xFFFFC4001), 8)
