@@ -29,6 +29,18 @@ import numpy as np
 
 CPU_BASELINE_ENC_PER_S = 1200.0  # documented analytic estimate, BASELINE.md
 
+# Per-preset measured CPU baselines (BASELINE.md §"Per-config measured CPU
+# baselines", round 4): 2x the 64-core perfect-scaling extrapolation of the
+# measured Harvey/Shoup upper-bound kernel from native/pvw_cpu_baseline.cpp
+# — generous to the reference twice over (it actually runs Barrett, and
+# rayon does not scale perfectly).
+PRESET_BASELINE = {
+    "pvss_8192": 664.0,
+    "shares_n1024": 2161.0,
+    "broadcast_128bit": 1873.0,
+    "threshold_256bit": 98.6,
+}
+
 N_RECEIVERS = 4096
 K_DIM = 256
 ELL = 8
@@ -72,7 +84,21 @@ def main() -> None:
     ap.add_argument("--preset", type=str, default=None,
                     help="use a named preset from pvw_tpu.params.presets "
                          "(overrides --receivers/--dimension)")
+    ap.add_argument("--all", action="store_true",
+                    help="bench the headline shape AND every BASELINE "
+                         "preset (one JSON line each; headline last)")
     args = ap.parse_args()
+
+    if args.all:
+        # one subprocess per configuration: clean HBM + compile scope
+        import subprocess
+
+        for preset in ("broadcast_128bit", "shares_n1024",
+                       "threshold_256bit", "pvss_8192"):
+            subprocess.run([sys.executable, __file__, "--preset", preset],
+                           check=False)
+        subprocess.run([sys.executable, __file__], check=False)
+        return
     N_RECEIVERS, K_DIM = args.receivers, args.dimension
     if args.batch is not None:
         BATCH = args.batch
@@ -204,11 +230,12 @@ def main() -> None:
     log(f"{iters} x batch-{BATCH} encryptions in {dt:.3f}s -> "
         f"{enc_per_s:.1f} enc/s")
 
+    baseline = PRESET_BASELINE.get(args.preset, CPU_BASELINE_ENC_PER_S)
     print(json.dumps({
         "metric": f"encryptions_per_sec_n{N_RECEIVERS}_k{K_DIM}_l{params.l}",
         "value": round(enc_per_s, 2),
         "unit": "encryptions/s",
-        "vs_baseline": round(enc_per_s / CPU_BASELINE_ENC_PER_S, 3),
+        "vs_baseline": round(enc_per_s / baseline, 3),
         "v4_golden": v4_golden,
     }))
 

@@ -95,6 +95,7 @@ int main(int argc, char** argv) {
   long iters = argc > 5 ? atol(argv[5]) : 8;
   long L = (long)moduli.size();
   long C = L * l;  // flattened (limb, slot) channels per poly
+  if (C > 512) { fprintf(stderr, "C=%ld exceeds acc buffer\n", C); return 1; }
 
   std::vector<Barrett> br;
   for (u64 q : moduli) br.emplace_back(q);
@@ -125,7 +126,7 @@ int main(int argc, char** argv) {
       // c1 = A·r  (k×k poly matvec)
 #pragma omp parallel for schedule(static)
       for (long i = 0; i < k; ++i) {
-        u64 acc[64] = {0};
+        u64 acc[512] = {0};
         for (long j = 0; j < k; ++j) {
           const u64* a = &A[((size_t)i * k + j) * C];
           const u64* rr = &r[(size_t)j * C];
@@ -142,7 +143,7 @@ int main(int argc, char** argv) {
       // c2 = B·r  (n×k poly matvec — the dominant loop, rayon P5)
 #pragma omp parallel for schedule(static)
       for (long i = 0; i < n; ++i) {
-        u64 acc[64] = {0};
+        u64 acc[512] = {0};
         for (long j = 0; j < k; ++j) {
           const u64* b = &B[((size_t)i * k + j) * C];
           const u64* rr = &r[(size_t)j * C];
