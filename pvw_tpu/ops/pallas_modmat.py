@@ -461,6 +461,22 @@ def _build_rhs_scaled(td):
 # transient products per (tile_m, tile_n)).
 _VMEM_LIMIT = 15 * 1024 * 1024
 
+# The tall (1024, 128) tile exceeds the conservative limit above but is
+# hardware-validated (v5e, round 4) for the kd <= 1280, C <= 9,
+# m <= 4096 family (2-limb chains at nd <= 5, k <= 256): Mosaic accepted
+# the headline encryption c2 kernel (m=4096, batch 8192) and the
+# m=4096 batch-keygen kernel right at the 16M scoped-vmem ceiling
+# (~15.99M), while every neighbor lands just OVER it: kd=2048 keygen
+# 16.49M, m=8192 encrypt 16.13M — and forced tall tiles crash configs
+# 3/4 outright. The cost model cannot discriminate at 1% precision
+# across kernel variants (its ordering inverts between the gen-noise and
+# input-plane variants), so the gate is the hardware-validated envelope
+# itself — every admitted shape is elementwise <= a shape Mosaic took —
+# plus the model-cost ceiling of its largest accepted member. Measured
+# same-process A/B at the headline: 71.3-71.6 ms/batch-8192 vs 72.4-72.5
+# for (512, 128) => +1.4% (BASELINE.md round-4 rows).
+_VMEM_LIMIT_TALL = 28_700_000
+
 
 def _tile_cost(tile_m: int, tile_n: int, kd: int, C: int,
                extra_mn: int = 0) -> int:
@@ -484,7 +500,12 @@ def _pick_tiles(m: int, n: int, kd: int, C: int, extra_mn: int = 0):
     # Preference order measured on v5e (hardware sweep, see BASELINE.md):
     # the tall-skinny (512, 128) tile beats (256, 256) at every tested
     # shape (+5% headline, +13% at the 4-limb config — taller m-tiles
-    # amortize the banded rhs block better per output element).
+    # amortize the banded rhs block better per output element); the
+    # (1024, 128) tile is +1.4% again where its gate admits it (see
+    # _VMEM_LIMIT_TALL).
+    if (1024 <= m <= 4096 and kd <= 1280 and C <= 9
+            and _tile_cost(1024, 128, kd, C, extra_mn) <= _VMEM_LIMIT_TALL):
+        return 1024, 128
     for tile_m, tile_n in ((512, 128), (256, 256), (256, 128), (128, 256),
                            (128, 128), (64, 256), (64, 128)):
         if _tile_cost(tile_m, tile_n, kd, C, extra_mn) <= _VMEM_LIMIT:
