@@ -60,7 +60,9 @@ PRESET_BATCH = {
     "pvss_8192": 2048,
     "shares_n1024": 1024,
     "threshold_256bit": 512,
-    "broadcast_128bit": 64,
+    # r4 sweep: 8283/15202/17585/17311/16317 enc/s at batch 64/128/256/
+    # 512/1024 — the n=64 shape is dispatch-bound until ~256
+    "broadcast_128bit": 256,
     "secure_128_reference": 64,
     "toy": 1024,
     "vector_k256": 1024,
