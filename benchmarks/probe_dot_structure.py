@@ -29,6 +29,8 @@ from pvw_tpu.params.parameters import PvwParameters, PvwParametersBuilder
 
 N, K, ELL = 4096, 256, 8
 D = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+TM = int(sys.argv[2]) if len(sys.argv) > 2 else 512   # m-tile (r4: try 1024)
+TN = int(sys.argv[3]) if len(sys.argv) > 3 else 128
 MODULI = (0xFFFFC4001, 0x1FFFFE0001)
 
 
@@ -62,7 +64,7 @@ def main():
     ld = jnp.asarray(rng.integers(-64, 64, (CH, N, kd), np.int64), jnp.int8)
     band = jnp.asarray(rng.integers(-64, 64, (CH, nd, kd, D), np.int64),
                        jnp.int8)
-    TM, TN = 512, 128
+    print(f"tiles ({TM}, {TN})", flush=True)
 
     # 1. XLA one-dot floor
     r2_flat = jnp.transpose(band, (0, 2, 1, 3)).reshape(CH, kd, nd * D)
