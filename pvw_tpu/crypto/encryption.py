@@ -295,12 +295,19 @@ def _host_noise_ch(kk: jax.Array, rows: int, d: int, bound: int, params):
             jnp.transpose(el, (2, 3, 0, 1)))
 
 
-def _host_noise_pairs(params, key: jax.Array, d: int):
+def _host_noise_pairs(params, key: jax.Array, d: int,
+                      min_q: int | None = None):
     """(host_e1, host_e2) for :func:`_encrypt_kernel` — non-None only for
     the error bounds the device sampler cannot embed (>= min(q_i)).
     Splits ``key`` exactly like the kernel does, so the host draw consumes
-    the same logical stream slot the device draw would have."""
-    min_q = min(params.ring.moduli)
+    the same logical stream slot the device draw would have.
+
+    ``min_q``: the routing threshold — limb-restricted callers pass the
+    FULL ring's smallest modulus so every limb shard makes the same
+    host/device decision the full-ring path makes (a bound can exceed the
+    full ring's minimum while staying under a restricted subset's)."""
+    if min_q is None:
+        min_q = min(params.ring.moduli)
     if max(params.error_bound_1, params.error_bound_2) < min_q:
         return None, None
     _, k_e1, k_e2 = jax.random.split(key, 3)

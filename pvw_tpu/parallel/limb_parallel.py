@@ -35,7 +35,9 @@ from ..keys.public_key import GlobalPublicKey
 from ..keys.secret_key import SecretKey
 from ..params.parameters import PvwParameters
 from ..poly import Poly, Representation
-from ..crypto.encryption import PvwCiphertext, _encrypt_kernel, _scalars_to_pairs
+from ..crypto.encryption import (
+    PvwCiphertext, _encrypt_kernel, _host_noise_pairs, _scalars_to_pairs,
+)
 from ..crypto.decryption import _decode_batch, _noisy_message_kernel_ch
 from ..ops import u64 as u64op
 
@@ -139,9 +141,16 @@ def encrypt_batch_limb_parallel(all_scalars, global_pk: GlobalPublicKey,
         sch = jax.device_put(sc_hi, dev)
         scl = jax.device_put(sc_lo, dev)
         k_dev = jax.device_put(key, dev)
+        # bounds >= min(q_i): exact host sampling per limb shard. The
+        # host stream depends only on the key (not the ring), so every
+        # shard's residues are reductions of the SAME sampled integers —
+        # the limb concatenation stays bit-identical to the full-ring
+        # draw (encryption._host_noise_pairs).
+        he1, he2 = _host_noise_pairs(sub, key, arr.shape[0],
+                                     min_q=min(params.ring.moduli))
         # async dispatch: all devices run concurrently
         results.append(_encrypt_kernel(sub, a_dig, b_dig, sch, scl,
-                                       k_dev, encode32))
+                                       k_dev, encode32, he1, he2))
     return LimbShardedCiphertext(results, partition, params)
 
 

@@ -62,8 +62,11 @@ def run_worker(process_id: int, num_processes: int, port: int,
     assert jax.local_device_count() == local_devices
 
     # -- deterministic system, built identically by every process --------
-    moduli = (0xFFFFEE001, 0xFFFFC4001)
-    n = k = 16
+    # non-toy config, matching the hardened dryrun family: the reference's
+    # 4x55-bit chain (examples/pvw_valid_dec.rs:40-45), 221-bit q
+    moduli = (0x80000000080001, 0x80000000130001,
+              0x80000000190001, 0x800000001D0001)
+    n = k = 32
     d = 8
     b1, b2 = PvwParameters.suggest_error_bounds(n, k, 8, moduli, 0.5)
     params = (PvwParametersBuilder().set_parties(n).set_dimension(k)

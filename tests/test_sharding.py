@@ -256,3 +256,37 @@ def test_sharded_huge_bound_bit_identical(kdim):
                                   ct.c2.residues_np())
     out = decrypt_party_shares_sharded(ct, parties[1].secret_key, 1, mesh)
     assert out == [int(vec[d][1]) for d in range(4)]
+
+
+def test_limb_parallel_huge_bound_bit_identical():
+    """Huge-bound host noise through the limb-parallel path: each shard's
+    residues must be reductions of the SAME host-sampled integers (the
+    host stream depends only on the key), so the gathered ciphertext is
+    bit-identical to the full-ring kernel."""
+    from pvw_tpu.parallel import (
+        decrypt_party_shares_limb_parallel, encrypt_batch_limb_parallel,
+    )
+
+    B = 1 << 56
+    n = k = 8
+    p = (PvwParametersBuilder().set_parties(n).set_dimension(k).set_l(8)
+         .set_moduli(MODULI4).set_secret_variance(0.5)
+         .set_error_bounds(B, B).build())
+    key = jax.random.key(13)
+    crs = PvwCrs.new(p, jax.random.fold_in(key, 0))
+    parties = [Party.new(i, p, jax.random.fold_in(key, 100 + i))
+               for i in range(n)]
+    gpk = GlobalPublicKey(crs)
+    gpk.generate_all_party_keys(parties, jax.random.fold_in(key, 1))
+    vec = np.array([[d * 7 + r + 1 for r in range(n)] for d in range(4)],
+                   np.uint64)
+    k5 = jax.random.fold_in(key, 5)
+    ct_ref = encrypt_batch(vec, gpk, k5)
+    ct_lp = encrypt_batch_limb_parallel(vec, gpk, k5, jax.devices()[:4])
+    gathered = ct_lp.gather()
+    np.testing.assert_array_equal(gathered.c1.residues_np(),
+                                  ct_ref.c1.residues_np())
+    np.testing.assert_array_equal(gathered.c2.residues_np(),
+                                  ct_ref.c2.residues_np())
+    out = decrypt_party_shares_limb_parallel(ct_lp, parties[2].secret_key, 2)
+    assert out == [int(vec[d][2]) for d in range(4)]
