@@ -55,6 +55,13 @@ noise_value_mac      PVW_TPU_NOISE_VALS    Use the value-plane noise MAC when
                                            its VMEM cost allows (True; set the
                                            env var to ``0`` to force the
                                            digit-plane MAC).
+swapped_form         PVW_TPU_SWAPPED       EXPERIMENTAL: swapped-operand
+                                           encryption kernel (Shoup scales on
+                                           the cached lhs planes, plain-digit
+                                           rhs — DESIGN.md §5f). Measured ~5%
+                                           SLOWER than the banded default at
+                                           the headline shape (r4); kept as an
+                                           opt-in measured branch (False).
 trace                PVW_TPU_TRACE         Enable span tracing to stderr
                                            (False).
 jax_cache_dir        PVW_TPU_JAX_CACHE     Persistent JAX compilation cache
@@ -120,6 +127,7 @@ class Settings:
                              lambda raw: raw == "1")
     noise_value_mac: bool = _Knob("PVW_TPU_NOISE_VALS", True,
                                   lambda raw: raw != "0")
+    swapped_form: bool = _Knob("PVW_TPU_SWAPPED", False, _parse_bool)
     trace: bool = _Knob("PVW_TPU_TRACE", False, _parse_bool)
     jax_cache_dir: Optional[str] = _Knob("PVW_TPU_JAX_CACHE", None)
 

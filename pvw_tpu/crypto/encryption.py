@@ -130,6 +130,9 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
     k, n, l = params.k, params.n, params.l
     L = ring.num_limbs
     d = sc_hi.shape[0]
+    # SWAPPED operand form (DESIGN.md §5f): 5-D lhs planes carry the
+    # Shoup scales (cached per key set), so r needs only plain digits
+    swapped = a_dig.ndim == 5
     k_r, k_e1, k_e2 = jax.random.split(key, 3)
 
     # r: row-keyed CBD ("stream v2": row j from fold_in(k_r, j), so mesh
@@ -159,7 +162,10 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
     # HBM round trip. PVW_TPU_NOISE=v3 restores the threefry stream
     # (bit-identical to the CPU backend); off-TPU always uses v3.
     from ..config import settings
-    from ..ops.pallas_modmat import kernel_noise_available, matmul_fold_scaled
+    from ..ops.pallas_modmat import (
+        kernel_noise_available, matmul_fold_scaled, matmul_fold_swapped,
+        swapped_available,
+    )
     from ..ops.ntt import signed_digit_count
 
     use_v4 = settings.use_v4_noise()
@@ -169,8 +175,10 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
         if not use_v4:
             return None
         jr = signed_digit_count(bound)
-        if not jr or not kernel_noise_available(
-                ring, rows, d, k, bound, has_post, has_encode):
+        avail = (swapped_available(ring, rows, d, k, bound, has_encode)
+                 if swapped else kernel_noise_available(
+                     ring, rows, d, k, bound, has_post, has_encode))
+        if not jr or not avail:
             return None
         kd_words = jax.lax.bitcast_convert_type(
             jax.random.key_data(kk).reshape(2), jnp.int32)
@@ -190,27 +198,41 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
     qh4 = jnp.asarray(ring.q_hi).reshape(L, 1, 1, 1)
     ql4 = jnp.asarray(ring.q_lo).reshape(L, 1, 1, 1)
 
-    # r is the shared rhs of both products: prescale its digits ONCE
-    # (scaled-digit form, see ops/modmat.prescale_digits_band) so each
-    # matmul contracts over (k, nd) and folds only nd narrow columns; the
-    # band layout is the kernel's native rhs layout — no ~100 MB digit
-    # transpose per call (benchmarks/probe_rstage.py).
-    r_scaled = modmat.prescale_digits_band(r_ch, ring)  # [L,l,nd,k*nd,d]
+    # r is the shared rhs of both products. Swapped form: PLAIN digits
+    # only (the Shoup scales live on the cached lhs planes — DESIGN.md
+    # §5f; the per-call prescale was ~30% of device time at the headline
+    # shape). Banded form: prescale the digits ONCE (scaled-digit form,
+    # see ops/modmat.prescale_digits_band) so each matmul contracts over
+    # (k, nd) and folds only nd narrow columns.
+    if swapped:
+        r_op = modmat.rhs_digit_cols(r_ch, ring)        # [L,l,k*nd,d]
+    else:
+        r_op = modmat.prescale_digits_band(r_ch, ring)  # [L,l,nd,k*nd,d]
+
+    def _product(lhs_dig, gen_noise=None, noise=None, encode=None,
+                 noise_bound=None):
+        if swapped:
+            return matmul_fold_swapped(
+                lhs_dig, r_op, ring, noise=noise, encode=encode,
+                encode32=encode32, gen_noise=gen_noise,
+                noise_bound=noise_bound,
+            )
+        return matmul_fold_scaled(
+            None, r_op, ring, noise=noise, encode=encode,
+            lhs_dig=lhs_dig, encode32=encode32, gen_noise=gen_noise,
+            noise_bound=noise_bound,
+        )
 
     # c1 = A·r + e1                                      (encryption.rs:156-173)
     g1 = (None if host_e1 is not None
           else _gen_noise(k_e1, k, params.error_bound_1, False, False))
     if g1 is not None:
-        c1h, c1l = matmul_fold_scaled(
-            None, r_scaled, ring, gen_noise=g1, lhs_dig=a_dig
-        )                                                       # [L,l,k,d]
+        c1h, c1l = _product(a_dig, gen_noise=g1)                # [L,l,k,d]
     else:
         n1 = (None if host_e1 is not None
               else _noise_planes(k_e1, k, params.error_bound_1))
-        c1h, c1l = matmul_fold_scaled(
-            None, r_scaled, ring, noise=n1, lhs_dig=a_dig,
-            noise_bound=params.error_bound_1,
-        )
+        c1h, c1l = _product(a_dig, noise=n1,
+                            noise_bound=params.error_bound_1)
         if n1 is None:
             e1h, e1l = (host_e1 if host_e1 is not None else
                         _noise_residues_ch(k_e1, k, params.error_bound_1))
@@ -232,17 +254,12 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
     g2 = (None if host_e2 is not None
           else _gen_noise(k_e2, n, params.error_bound_2, False, True))
     if g2 is not None:
-        c2h, c2l = matmul_fold_scaled(
-            None, r_scaled, ring, gen_noise=g2, encode=enc, lhs_dig=b_dig,
-            encode32=encode32,
-        )                                                       # [L,l,n,d]
+        c2h, c2l = _product(b_dig, gen_noise=g2, encode=enc)    # [L,l,n,d]
     else:
         n2 = (None if host_e2 is not None
               else _noise_planes(k_e2, n, params.error_bound_2))
-        c2h, c2l = matmul_fold_scaled(
-            None, r_scaled, ring, noise=n2, encode=enc, lhs_dig=b_dig,
-            encode32=encode32, noise_bound=params.error_bound_2,
-        )
+        c2h, c2l = _product(b_dig, noise=n2, encode=enc,
+                            noise_bound=params.error_bound_2)
         if n2 is None:
             e2h, e2l = (host_e2 if host_e2 is not None else
                         _noise_residues_ch(k_e2, n, params.error_bound_2))
@@ -321,6 +338,30 @@ def _host_noise_pairs(params, key: jax.Array, d: int,
     return host_e1, host_e2
 
 
+def _swapped_form_ok(params: PvwParameters, d: int) -> bool:
+    """Route to the swapped operand form (scales on the cached lhs,
+    plain-digit rhs — DESIGN.md §5f) when explicitly enabled and the TPU
+    kernel supports both products at this shape.
+
+    OFF by default: although the swapped dots match the banded MXU rate
+    in isolation (probe_swap) and the per-encryption r-stage drops from
+    ~21.6 to ~14 ms at the headline batch, the full kernel measured ~5%
+    slower end-to-end (111.6k vs 117.0k enc/s, r4 same-session — the
+    wider n-tiles the swapped block economics force degrade the
+    epilogue/noise path more than the prescale saving). Kept as a
+    measured, opt-in branch (settings.swapped_form / PVW_TPU_SWAPPED)."""
+    from ..config import settings
+    from ..ops.pallas_modmat import swapped_available
+
+    if not settings.swapped_form or d < 128:
+        return False
+    ring = params.ring
+    return (swapped_available(ring, params.n, d, params.k,
+                              params.error_bound_2, True)
+            and swapped_available(ring, params.k, d, params.k,
+                                  params.error_bound_1, False))
+
+
 def encrypt_batch(all_scalars, global_pk: GlobalPublicKey,
                   key: jax.Array) -> PvwCiphertext:
     """Encrypt d independent scalar vectors in one kernel call.
@@ -345,11 +386,17 @@ def encrypt_batch(all_scalars, global_pk: GlobalPublicKey,
             "may fail"
         )
     sc_hi, sc_lo = _scalars_to_pairs(arr)
-    a_dig, b_dig = global_pk.encrypt_operands()
     encode32 = not bool(np.any(arr >> np.uint64(32)))
     # bounds >= min(q_i): exact host sampling (the reference's BigInt
     # path accepts any bound — encryption.rs:161-173)
     host_e1, host_e2 = _host_noise_pairs(params, key, arr.shape[0])
+    # SWAPPED operand form on TPU (DESIGN.md §5f): the cached lhs planes
+    # carry the Shoup scales, removing the per-call rhs prescale
+    if (host_e1 is None and host_e2 is None
+            and _swapped_form_ok(params, arr.shape[0])):
+        a_dig, b_dig = global_pk.encrypt_operands_swapped()
+    else:
+        a_dig, b_dig = global_pk.encrypt_operands()
     c1h, c1l, c2h, c2l = _encrypt_kernel(
         params, a_dig, b_dig, sc_hi, sc_lo, key, encode32,
         host_e1, host_e2,

@@ -442,6 +442,31 @@ class GlobalPublicKey:
             cached = self._enc_ops
         return cached[1]
 
+    def encrypt_operands_swapped(self):
+        """Cached SCALED channel-major digit planes of (A, B) — the
+        swapped-form lhs operands (int8 [L, l, nd, k, k*nd] /
+        [L, l, nd, n, k*nd], :func:`pvw_tpu.ops.modmat.lhs_scaled_planes`).
+        Moving the Shoup prescale onto the encryption-invariant side means
+        each encryption's rhs needs only the plain digits of r — the
+        per-call prescale (~30% of device time at the headline shape)
+        amortizes to zero (DESIGN.md §5f). nd x the plain-plane footprint;
+        same invalidation discipline as :meth:`encrypt_operands`."""
+        from ..ops import modmat
+
+        src = (self.crs.matrix.hi, self.matrix.hi)
+        cached = getattr(self, "_enc_ops_swapped", None)
+        if cached is None or cached[0][0] is not src[0] \
+                or cached[0][1] is not src[1]:
+            planes = (
+                modmat.lhs_scaled_planes(*self.crs.matrix.pair,
+                                         self.params.ring),
+                modmat.lhs_scaled_planes(*self.matrix.pair,
+                                         self.params.ring),
+            )
+            self._enc_ops_swapped = (src, planes)
+            cached = self._enc_ops_swapped
+        return cached[1]
+
     def get_public_key(self, index: int) -> Optional[PublicKey]:
         """``public_key.rs:283-301``."""
         if index >= self.num_keys:

@@ -303,6 +303,53 @@ def lhs_digit_planes(hi, lo, ring: "RingPlan"):
     return digits(hc, lc, nd).reshape(L, l, m, k * nd)
 
 
+@partial(jax.jit, static_argnums=(2,))
+def lhs_scaled_planes(hi, lo, ring: "RingPlan"):
+    """Canonical poly-layout pair [m, k, L, l] -> SCALED channel-major
+    digit planes int8 [L, l, nd(c), m, k*nd(i)], entry
+    (c, mm, kk*nd + i) = digit_c(A[mm, kk] * 2^(8i) mod q) — the cached
+    lhs operand of the SWAPPED fused matmul (DESIGN.md §5f): with the
+    Shoup scales on the encryption-invariant side, the per-encryption rhs
+    needs only the plain digits of r (no per-call prescale). nd x the
+    plain-plane footprint; built once per key set."""
+    m, k, L, l = hi.shape
+    nd = ring.num_digits
+    hc = jnp.transpose(hi, (2, 3, 0, 1))           # [L, l, m, k]
+    lc = jnp.transpose(lo, (2, 3, 0, 1))
+    sh = lambda a: jnp.asarray(a).reshape(L, 1, 1, 1)
+    qh, ql = sh(ring.q_hi), sh(ring.q_lo)
+    digs = []                                      # digs[i] = nd c-planes
+    for i in range(nd):
+        if i == 0:
+            th, tl = hc, lc
+        else:
+            th, tl = u.shoup_mul64_arr(
+                hc, lc,
+                sh(ring.pow_hi[:, i]), sh(ring.pow_lo[:, i]),
+                sh(ring.pow_s64_hi[:, i]), sh(ring.pow_s64_lo[:, i]),
+                qh, ql,
+            )
+        digs.append(u.to_signed_digit_list(th, tl, nd))
+    per_c = [
+        jnp.stack([digs[i][c] for i in range(nd)], axis=-1)   # [L,l,m,k,nd]
+        .reshape(L, l, m, k * nd)
+        for c in range(nd)
+    ]
+    return jnp.stack(per_c, axis=2)                # [L, l, nd, m, k*nd]
+
+
+def rhs_digit_cols(rhs_ch, ring: "RingPlan"):
+    """Channel-major residue pair [L, l, k, n] -> PLAIN digit rows int8
+    [L, l, k*nd(i), n] (k-major, digit-minor — matching the swapped lhs
+    plane column order). The swapped-form per-encryption rhs: nd digit
+    extractions, no Shoup scales, no band duplication."""
+    rh, rl = rhs_ch
+    L, l, k, n = rh.shape
+    nd = ring.num_digits
+    digs = u.to_signed_digit_list(rh, rl, nd)      # nd x [L, l, k, n]
+    return jnp.stack(digs, axis=3).reshape(L, l, k * nd, n)
+
+
 def scaled_cols(lhs, rhs_scaled, ring: "RingPlan", lhs_dig=None):
     """Digit matmul against a prescaled rhs: nd narrow columns.
 

@@ -89,7 +89,8 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
                     use_words: bool = False, has_encode: bool = False,
                     encode32: bool = False, gen_noise: tuple | None = None,
                     noise_vals: int = 0, in_jr: int = 0,
-                    dots_first: bool = False, masked: bool = False):
+                    dots_first: bool = False, masked: bool = False,
+                    swapped: bool = False):
     """Factory for the fused matmul+fold kernel bodies.
 
     All variants bias each int32 column by +2^31 and accumulate groups of
@@ -181,7 +182,11 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
             out_hi_ref, out_lo_ref, noise_scr = refs
         else:
             out_hi_ref, out_lo_ref = refs
-        tm = lhs_ref.shape[1]
+        # ``swapped``: the SCALES live on the (cached) lhs — lhs block
+        # [1, C, TM, kd] of digit_c(A*2^(8i) mod q) planes, band block is
+        # the plain rhs digits [1, kd, TN] shared by every column; same
+        # columns, same fold, bit-identical residues (DESIGN.md §5f).
+        tm = lhs_ref.shape[2] if swapped else lhs_ref.shape[1]
         n = out_hi_ref.shape[2]
 
         row_ok = None
@@ -234,12 +239,26 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
                             + (noise_ref[2 * jj + 1].astype(jnp.int32) << 8)
                         )
             noise_ref = noise_scr
-        C = band_ref.shape[1]
+        C = lhs_ref.shape[1] if swapped else band_ref.shape[1]
         ng = (C + 3) // 4
         ch = pl.program_id(ch_axis)
         t = tables_ref
         qh, ql = t[ch, 18], t[ch, 19]
-        lhs = lhs_ref[0]
+        lhs = None if swapped else lhs_ref[0]
+        rhs_shared = band_ref[0] if swapped else None
+
+        def _dot(c):
+            if swapped:
+                return jax.lax.dot_general(
+                    lhs_ref[0, c], rhs_shared,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+            return jax.lax.dot_general(
+                lhs, band_ref[0, c],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
 
         acc_h = jnp.zeros((tm, n), u.U32)
         acc_l = jnp.zeros((tm, n), u.U32)
@@ -252,20 +271,10 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
             # issue every MXU contraction before any VPU fold work so the
             # scheduler can overlap the fold of column c with the dot of
             # column c+1 (bit-identical: pure reordering)
-            dots = [
-                jax.lax.dot_general(
-                    lhs, band_ref[0, c],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                ) for c in range(C)
-            ]
+            dots = [_dot(c) for c in range(C)]
         for c in range(C):
             g, r = divmod(c, 4)
-            p_c = dots[c] if dots_first else jax.lax.dot_general(
-                lhs, band_ref[0, c],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )                                           # [TM, n]
+            p_c = dots[c] if dots_first else _dot(c)    # [TM, n]
             if has_noise:
                 if noise_vals:
                     # int32 value planes: l MACs/column, no converts
@@ -513,7 +522,7 @@ def _pick_tiles(m: int, n: int, kd: int, C: int, extra_mn: int = 0):
     return None
 
 
-@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 13, 14, 15, 16, 17))
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18))
 def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
                                encode, tile_m: int, tile_n: int,
                                interpret: bool, use_words: bool = False,
@@ -521,7 +530,8 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
                                gen_noise: tuple | None = None,
                                noise_vals: int = 0, in_jr: int = 0,
                                dots_first: bool = False,
-                               masked: bool = False):
+                               masked: bool = False,
+                               swapped: bool = False):
     """lhs_dig int8 [CH, m, kd]; band int8 [CH, nd, kd, n]; tables uint32
     [CH, 36]; ntab int32 [CH, ljr, nd] (rows = l with ``noise_vals``);
     noise int8 [ljr, m, n] (or None with ``gen_noise``); post None or
@@ -536,10 +546,18 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
     Grid (m-tiles, n-tiles, CH) with CH innermost so the noise/scalar
     tiles — whose block index ignores the channel — are fetched once per
     (i, j).
+
+    ``swapped``: the scales live on the cached lhs — lhs_dig int8
+    [CH, nd, m, kd] (digit_c(A*2^(8i) mod q) planes), band int8
+    [CH, kd, n] (plain rhs digits). Same columns, same fold.
     """
-    ch, m, kd = lhs_dig.shape
-    n = band.shape[3]
-    C = band.shape[1]
+    if swapped:
+        ch, C, m, kd = lhs_dig.shape
+        n = band.shape[2]
+    else:
+        ch, m, kd = lhs_dig.shape
+        n = band.shape[3]
+        C = band.shape[1]
     ljr = ntab.shape[1]
     has_post = post is not None
     has_encode = encode is not None
@@ -571,12 +589,20 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
     if gen_noise is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # seeds [4]
         operands.append(seeds)
-    in_specs += [
-        pl.BlockSpec((1, tile_m, kd), lambda i, j, c: (c, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C, kd, tile_n), lambda i, j, c: (c, 0, 0, j),
-                     memory_space=pltpu.VMEM),
-    ]
+    if swapped:
+        in_specs += [
+            pl.BlockSpec((1, C, tile_m, kd), lambda i, j, c: (c, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kd, tile_n), lambda i, j, c: (c, 0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        in_specs += [
+            pl.BlockSpec((1, tile_m, kd), lambda i, j, c: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, kd, tile_n), lambda i, j, c: (c, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ]
     operands += [lhs_dig, band]
     if gen_noise is None:
         in_specs.append(
@@ -609,7 +635,8 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
         scratch = []
     oh, ol = pl.pallas_call(
         _make_fold_body(2, True, has_post, use_words, has_encode, encode32,
-                        gen_noise, noise_vals, in_jr, dots_first, masked),
+                        gen_noise, noise_vals, in_jr, dots_first, masked,
+                        swapped),
         grid=grid,
         in_specs=in_specs,
         out_specs=[mn_spec(), mn_spec()],
@@ -1003,4 +1030,350 @@ def matmul_channels_pallas(lhs, rhs, ring: "RingPlan", tile_m: int = 256,
     tables = jnp.repeat(jnp.asarray(_pack_tables(ring)), S, axis=0)  # [L*S, 36]
     oh, ol = _fused_banded_matmul(ld, band, tables, tile_m, tile_n, interpret,
                                   ring.fold_words_ok)
+    return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)
+
+
+# --------------------------------------------------------------------------
+# fused r-stage: signed-coefficient NTT + scaled-digit band, one kernel
+# --------------------------------------------------------------------------
+#
+# The per-encryption rhs preparation (CBD coefficients -> NTT residues ->
+# prescaled digit band) was the third-largest device cost of a batch:
+# measured at the headline shape, batch 8192, the XLA pipeline spends
+# ~10.8 ms in ntt_forward_signed_ch and ~17.4 ms in prescale_digits_band
+# (mostly relayouts: the band tensor is 838 MB and every stack/transpose
+# materializes). This kernel computes the SAME values in one pass per
+# (channel, d-tile): NTT columns as l*jr scalar MACs against the fwd band
+# table, the exact grouped fold, nd Shoup scales, balanced digit
+# extraction, and the band assembly entirely in VMEM — bit-identical to
+# prescale_digits_band(ntt_forward_signed_ch(...)) (tested in interpret
+# mode and by the encryption round-trip on hardware).
+
+def _prescale_tabs(ring: "RingPlan", C1: int) -> np.ndarray:
+    """Per-channel u32 constant table [CH, W] for _ntt_prescale_body:
+    [qh, ql, bias_h, bias_l, (grp wh/wl/sh/sl) x G, (pow hi/lo/s64hi/
+    s64lo) x (nd-1)]."""
+    L, l, nd = ring.num_limbs, ring.degree, ring.num_digits
+    G = (C1 + 3) // 4
+    bias_h, bias_l = ring.bias_pair_for_columns(C1)
+    W = 4 + 4 * G + 4 * (nd - 1)
+    out = np.zeros((L, W), np.uint32)
+    out[:, 0], out[:, 1] = ring.q_hi, ring.q_lo
+    out[:, 2], out[:, 3] = bias_h, bias_l
+    for g in range(G):
+        out[:, 4 + 4 * g + 0] = ring.grp_hi[:, g]
+        out[:, 4 + 4 * g + 1] = ring.grp_lo[:, g]
+        out[:, 4 + 4 * g + 2] = ring.grp_sh[:, g]
+        out[:, 4 + 4 * g + 3] = ring.grp_sl[:, g]
+    o = 4 + 4 * G
+    for i in range(1, nd):
+        out[:, o + 4 * (i - 1) + 0] = ring.pow_hi[:, i]
+        out[:, o + 4 * (i - 1) + 1] = ring.pow_lo[:, i]
+        out[:, o + 4 * (i - 1) + 2] = ring.pow_s64_hi[:, i]
+        out[:, o + 4 * (i - 1) + 3] = ring.pow_s64_lo[:, i]
+    return np.repeat(out, l, axis=0)                       # [CH, W]
+
+
+def _ntt_prescale_body(C1: int, ljr: int, nd: int, G: int):
+    """Kernel body factory. Refs: tabs [CH, W] u32 SMEM; ntab [CH, C1,
+    ljr] i32 SMEM; xd [ljr, k, TD] i8; out [1, nd, k*nd, TD] i8."""
+
+    def body(tabs_ref, ntab_ref, xd_ref, out_ref):
+        ch = pl.program_id(2)
+        t = tabs_ref
+        qh, ql = t[ch, 0], t[ch, 1]
+        xs = [xd_ref[r].astype(jnp.int32) for r in range(ljr)]
+
+        # NTT columns: cols[c] = sum_r xd[r] * band[ch, c, r]
+        # (identical products/sums to ntt_forward_cols_signed's int8 dot)
+        zeros = jnp.zeros_like(xs[0])
+        acc_h = jnp.zeros(xs[0].shape, u.U32)
+        acc_l = jnp.zeros(xs[0].shape, u.U32)
+        for g in range(G):
+            gh = jnp.zeros(xs[0].shape, u.U32)
+            gl = jnp.zeros(xs[0].shape, u.U32)
+            for r4 in range(4):
+                c = 4 * g + r4
+                if c >= C1:
+                    break
+                col = zeros
+                for r in range(ljr):
+                    col = col + xs[r] * ntab_ref[ch, c, r]
+                uc = (col + jnp.int32(-0x80000000)).astype(u.U32)
+                if r4 == 0:
+                    th, tl = jnp.zeros_like(uc), uc
+                else:
+                    th, tl = uc >> (32 - 8 * r4), uc << (8 * r4)
+                gh, gl = u.add64(gh, gl, th, tl)
+            th, tl = u.shoup_mul64_arr(
+                gh, gl, t[ch, 4 + 4 * g], t[ch, 5 + 4 * g],
+                t[ch, 6 + 4 * g], t[ch, 7 + 4 * g], qh, ql)
+            acc_h, acc_l = u.addmod(acc_h, acc_l, th, tl, qh, ql)
+        vh, vl = u.submod(acc_h, acc_l, t[ch, 2], t[ch, 3], qh, ql)
+
+        # nd Shoup scales + balanced digits (prescale_digits_band math)
+        o = 4 + 4 * G
+        digs = []                                  # digs[i][j] int8 planes
+        for i in range(nd):
+            if i == 0:
+                sh_, sl_ = vh, vl
+            else:
+                sh_, sl_ = u.shoup_mul64_arr(
+                    vh, vl,
+                    t[ch, o + 4 * (i - 1)], t[ch, o + 4 * (i - 1) + 1],
+                    t[ch, o + 4 * (i - 1) + 2], t[ch, o + 4 * (i - 1) + 3],
+                    qh, ql)
+            digs.append(u.to_signed_digit_list(sh_, sl_, nd))
+        for j in range(nd):
+            per_j = jnp.stack([digs[i][j] for i in range(nd)], axis=1)
+            out_ref[0, j] = per_j.reshape(-1, per_j.shape[-1])
+        return
+
+    return body
+
+
+def ntt_prescale_available(ring: "RingPlan", k: int, d: int,
+                           max_abs: int) -> bool:
+    """True when :func:`ntt_prescale_band` can run (TPU, bound in the
+    signed-digit range, a d-tile that divides d and fits VMEM)."""
+    from ..config import settings
+    from .ntt import signed_digit_count
+
+    if jax.default_backend() != "tpu" or settings.no_pallas:
+        return False
+    if not signed_digit_count(max_abs):
+        return False
+    return _prescale_tile(ring, k, d) is not None
+
+
+def _prescale_tile(ring: "RingPlan", k: int, d: int):
+    """(k-tile, d-tile) whose blocks + temporaries fit scoped VMEM —
+    widest d-tile first (lane utilization), then the largest k-tile.
+    Temporaries calibrated against a measured Mosaic stack (19.07M total
+    at k=256, td=256, nd=5, jr=1 => ~226 B per (k*td) element), scaled by
+    nd^2 (the live digit-plane set dominates)."""
+    nd, l = ring.num_digits, ring.degree
+    jr_max = 2
+    for td in (512, 256, 128):
+        if d % td:
+            continue
+        kt = k
+        while kt >= 8:
+            blocks = 2 * (l * jr_max * kt * td + nd * kt * nd * td)
+            temps = 240 * kt * td * nd * nd // 25
+            if k % kt == 0 and blocks + temps <= 15 * 1024 * 1024:
+                return kt, td
+            kt //= 2
+    return None
+
+
+def ntt_prescale_band(coeffs, ring: "RingPlan", max_abs: int,
+                      interpret: bool = False):
+    """Signed coefficients int32 [k, d, l] (|c| <= max_abs) -> scaled
+    digit band int8 [L, S, nd, k*nd, d] in ONE Pallas pass — bit-identical
+    to ``prescale_digits_band(ntt_forward_signed_ch(coeffs, ...))``.
+    Callers must check :func:`ntt_prescale_available` first."""
+    from .ntt import _signed_digits, signed_digit_count
+
+    L, l, nd = ring.num_limbs, ring.degree, ring.num_digits
+    jr = signed_digit_count(max_abs)
+    k, d = coeffs.shape[0], coeffs.shape[1]
+    kt, td = (k, min(d, 128)) if interpret else _prescale_tile(ring, k, d)
+    C1 = nd + jr - 1
+    G = (C1 + 3) // 4
+    ljr = l * jr
+    CH = L * l
+
+    xd = _signed_digits(coeffs, jr)                       # [k, d, l, jr]
+    xd = jnp.transpose(xd, (2, 3, 0, 1)).reshape(ljr, k, d)
+
+    band = ring.ntt_band_jr("fwd", jr)                    # [L, C1*l, ljr]
+    ntab = np.transpose(
+        band.reshape(L, C1, l, ljr), (0, 2, 1, 3)
+    ).reshape(CH, C1, ljr).astype(np.int32)
+    tabs = _prescale_tabs(ring, C1)
+
+    out = pl.pallas_call(
+        _ntt_prescale_body(C1, ljr, nd, G),
+        grid=(d // td, k // kt, CH),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # tabs
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # ntab
+            pl.BlockSpec((ljr, kt, td), lambda j, ik, c: (0, ik, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nd, kt * nd, td),
+                               lambda j, ik, c: (c, 0, ik, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((CH, nd, k * nd, d), jnp.int8),
+        interpret=interpret,
+    )(jnp.asarray(tabs), jnp.asarray(ntab), xd)
+    return out.reshape(L, l, nd, k * nd, d)
+
+
+# --------------------------------------------------------------------------
+# swapped-operand fused matmul (scales on the cached lhs — DESIGN.md §5f)
+# --------------------------------------------------------------------------
+
+def _pick_tiles_swapped(m: int, n: int, kd: int, C: int, extra_mn: int = 0):
+    """Tile choice for the swapped kernel: the lhs block is C planes of
+    [tile_m, kd] and the rhs block [kd, tile_n] is shared by every
+    column, so the economics prefer a WIDER n-tile than the banded form
+    (measured: (256, 512) runs the headline dots at the banded
+    (1024, 128) rate — probe_swap r4). Model cost as in _tile_cost with
+    the swapped block set; the ceiling is calibrated on hardware."""
+    from ..config import settings
+
+    fm, fn = settings.tile_m, settings.tile_n
+    if fm and fn:
+        return fm, fn
+    for tile_m, tile_n in ((256, 512), (512, 256), (256, 256), (128, 512),
+                           (128, 256), (128, 128), (64, 128)):
+        blocks = (C * tile_m * kd + kd * tile_n
+                  + (8 + extra_mn) * tile_m * tile_n)
+        temps = 48 * tile_m * tile_n
+        if 2 * blocks + temps <= _VMEM_LIMIT_SWAPPED:
+            return tile_m, tile_n
+    return None
+
+
+# Hardware-validated ceiling for the swapped tile model (v5e, round 4):
+# the headline c2 kernel (kd=1280, C=5, gen-noise + encode32 at
+# (256, 512)) compiles and runs; see _VMEM_LIMIT_TALL for why these
+# ceilings are empirical envelopes rather than true VMEM arithmetic.
+_VMEM_LIMIT_SWAPPED = 28_000_000
+
+
+def swapped_available(ring: "RingPlan", m: int, n: int, k: int,
+                      bound: int, has_encode: bool = True) -> bool:
+    """True when :func:`matmul_fold_swapped` can run with in-kernel
+    (stream v4) noise for these shapes."""
+    from ..config import settings
+    from .ntt import signed_digit_count
+
+    if jax.default_backend() != "tpu" or settings.no_pallas:
+        return False
+    jr = signed_digit_count(bound)
+    if not jr:
+        return False
+    nd = ring.num_digits
+    extra = _gen_noise_extra(ring.degree * jr, False, has_encode)
+    tiles = _pick_tiles_swapped(m, n, k * nd, nd, extra)
+    if tiles is None:
+        return False
+    tile_m, tile_n = tiles
+    tile_m = min(tile_m, m)
+    while m % tile_m:
+        tile_m //= 2
+    tile_n = min(tile_n, n)
+    while n % tile_n:
+        tile_n //= 2
+    if (tile_m % 8 and tile_m != m) or (tile_n % 128 and tile_n != n):
+        return False
+    return True
+
+
+def matmul_fold_swapped(lhs_planes, rhs_dig, ring: "RingPlan", noise=None,
+                        encode=None, encode32: bool = False, gen_noise=None,
+                        noise_bound=None, interpret: bool = False,
+                        tiles=None):
+    """Fused modular matmul with the Shoup scales on the CACHED lhs.
+
+    lhs_planes: int8 [L, S, nd(c), m, k*nd(i)] from
+    :func:`pvw_tpu.ops.modmat.lhs_scaled_planes` (encryption-invariant —
+    the prescale cost amortizes to zero across encryptions);
+    rhs_dig: int8 [L, S, k*nd(i), n] from
+    :func:`pvw_tpu.ops.modmat.rhs_digit_cols` (PLAIN digits — the
+    per-encryption rhs preparation is nd digit extractions, no Shoup
+    scales, no band duplication). Column c of the fold is
+    sum_{k,i} digit_c(A*2^(8i) mod q) * digit_i(r) — identical columns,
+    fold, and residues to :func:`matmul_fold_scaled` (bit-identity tested
+    in interpret mode and by the encryption round trip on hardware).
+    ``noise``/``encode``/``gen_noise``/``noise_bound``: exactly as in
+    :func:`matmul_fold_scaled`. TPU Pallas only — callers route to the
+    banded form elsewhere (this function has no XLA fallback)."""
+    from ..config import settings
+
+    nd = ring.num_digits
+    L, S, C, m, kd = lhs_planes.shape
+    k = kd // nd
+    n = rhs_dig.shape[3]
+    if gen_noise is not None and noise is not None:
+        raise ValueError("gen_noise and noise are mutually exclusive")
+    if not interpret and (jax.default_backend() != "tpu"
+                          or settings.no_pallas):
+        raise RuntimeError("matmul_fold_swapped requires the TPU Pallas "
+                           "path (route via swapped_available)")
+
+    if gen_noise is not None:
+        vals = _noise_vals_mode(ring, k, gen_noise[1], gen_noise[2])
+    elif noise is not None and noise.shape[0] >= ring.degree:
+        vals = _noise_vals_mode(ring, k, noise.shape[0] // ring.degree,
+                                noise_bound)
+    else:
+        vals = False
+
+    def _extra(v: bool) -> int:
+        if gen_noise is not None:
+            return _gen_noise_extra(ring.degree * gen_noise[1],
+                                    False, encode is not None,
+                                    ring.degree if v else 0)
+        return (0 if noise is None else
+                (noise.shape[0] + 4 * ring.degree if v
+                 else 3 * noise.shape[0])) \
+            + (0 if encode is None else 16)
+
+    if vals:
+        tv, td = _pick_tiles_swapped(m, n, kd, nd, _extra(True)), \
+            _pick_tiles_swapped(m, n, kd, nd, _extra(False))
+        if tv is None or (td is not None
+                          and tv[0] * tv[1] < td[0] * td[1]):
+            vals = False
+    if tiles is None:
+        tiles = _pick_tiles_swapped(m, n, kd, nd, _extra(vals))
+    if tiles is None:
+        raise RuntimeError("swapped tiles do not fit VMEM "
+                           "(check swapped_available first)")
+    tile_m, tile_n = tiles
+    tile_m = min(tile_m, m)
+    while m % tile_m:
+        tile_m //= 2
+    tile_n = min(tile_n, n)
+    while n % tile_n:
+        tile_n //= 2
+    if not interpret and ((tile_m % 8 and tile_m != m)
+                          or (tile_n % 128 and tile_n != n)):
+        raise RuntimeError("swapped tile shape Mosaic-illegal "
+                           "(check swapped_available first)")
+
+    ld = lhs_planes.reshape(L * S, C, m, kd)
+    r2 = rhs_dig.reshape(L * S, kd, n)
+    tables = jnp.repeat(jnp.asarray(_pack_tables(ring, nd)), S, axis=0)
+    seeds = None
+    gen_static = None
+    n_vals = S if vals else 0
+    in_jr = 0
+    if gen_noise is not None:
+        seeds, jr, bound = gen_noise
+        gen_static = (ring.degree, int(jr), int(bound))
+        ntab = jnp.asarray(
+            ring.ntt_scaled_tab(1 if vals else jr), jnp.int32
+        ).reshape(L * S, S * (1 if vals else jr), nd)
+    elif noise is None:
+        noise = jnp.zeros((1, m, n), jnp.int8)
+        ntab = jnp.zeros((L * S, 1, nd), jnp.int32)
+    else:
+        jr = noise.shape[0] // ring.degree
+        if noise.shape[0] != S * jr:
+            raise ValueError("noise digit planes must have l*jr rows")
+        in_jr = jr if vals else 0
+        ntab = jnp.asarray(
+            ring.ntt_scaled_tab(1 if vals else jr), jnp.int32
+        ).reshape(L * S, S * (1 if vals else jr), nd)
+    masked = seeds is not None and seeds.shape[0] >= 6
+    oh, ol = _fused_scaled_noise_matmul(
+        ld, r2, tables, ntab, noise, None, encode, tile_m, tile_n,
+        interpret, ring.fold_words_ok, encode32, seeds, gen_static, n_vals,
+        in_jr, settings.dots_first, masked, True,
+    )
     return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)
