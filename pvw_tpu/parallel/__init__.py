@@ -7,7 +7,11 @@ Two orthogonal scaling axes:
   collectives;
 - :mod:`.limb_parallel` — the RNS limb axis split across devices with
   per-shard limb-restricted programs and ZERO collectives (limbs are
-  independent throughout the scheme).
+  independent throughout the scheme);
+- :mod:`.grid` — BOTH at once: limb groups (outer, MPMD) x the
+  (recv, kdim) mesh (inner, SPMD) — the 3-axis pod layout of SURVEY §5;
+- :mod:`.multiprocess` — the mesh spanning real ``jax.distributed``
+  process boundaries (DCN-style), with per-shard bit-identity checks.
 """
 from .sharding import (
     make_mesh,
@@ -20,6 +24,11 @@ from .limb_parallel import (
     encrypt_batch_limb_parallel,
     limb_partition,
 )
+from .grid import (
+    GridShardedCiphertext,
+    decrypt_party_shares_grid,
+    encrypt_batch_grid,
+)
 
 __all__ = [
     "make_mesh",
@@ -28,5 +37,8 @@ __all__ = [
     "LimbShardedCiphertext",
     "decrypt_party_shares_limb_parallel",
     "encrypt_batch_limb_parallel",
+    "GridShardedCiphertext",
+    "decrypt_party_shares_grid",
+    "encrypt_batch_grid",
     "limb_partition",
 ]

@@ -290,3 +290,62 @@ def test_limb_parallel_huge_bound_bit_identical():
                                   ct_ref.c2.residues_np())
     out = decrypt_party_shares_limb_parallel(ct_lp, parties[2].secret_key, 2)
     assert out == [int(vec[d][2]) for d in range(4)]
+
+
+class TestGrid:
+    """3-axis grid (limb groups x recv x kdim): bit-identity to the
+    single-device kernel and round-trip decryption (SURVEY §5 scaling
+    axes COMBINED — round 4)."""
+
+    def _system(self, n=8, k=8, bounds=None, seed=17):
+        b = bounds or (100, 200)
+        p = (PvwParametersBuilder().set_parties(n).set_dimension(k)
+             .set_l(8).set_moduli(MODULI4).set_secret_variance(0.5)
+             .set_error_bounds(*b).build())
+        key = jax.random.key(seed)
+        crs = PvwCrs.new(p, jax.random.fold_in(key, 0))
+        parties = [Party.new(i, p, jax.random.fold_in(key, 100 + i))
+                   for i in range(n)]
+        gpk = GlobalPublicKey(crs)
+        gpk.generate_all_party_keys(parties, jax.random.fold_in(key, 1))
+        return p, gpk, parties, key
+
+    @pytest.mark.parametrize("limb_groups,kdim", [(2, 2), (2, 1), (4, 2)])
+    def test_grid_bit_identical_and_roundtrip(self, limb_groups, kdim):
+        from pvw_tpu.parallel import (
+            decrypt_party_shares_grid, encrypt_batch_grid,
+        )
+
+        p, gpk, parties, key = self._system()
+        vec = np.array([[d * 5 + r + 1 for r in range(p.n)]
+                        for d in range(4)], np.uint64)
+        k5 = jax.random.fold_in(key, 5)
+        ct_ref = encrypt_batch(vec, gpk, k5)
+        ct = encrypt_batch_grid(vec, gpk, k5, jax.devices()[:8],
+                                limb_groups=limb_groups, kdim=kdim)
+        g = ct.gather()
+        np.testing.assert_array_equal(g.c1.residues_np(),
+                                      ct_ref.c1.residues_np())
+        np.testing.assert_array_equal(g.c2.residues_np(),
+                                      ct_ref.c2.residues_np())
+        out = decrypt_party_shares_grid(ct, parties[1].secret_key, 1)
+        assert out == [int(vec[d][1]) for d in range(4)]
+
+    def test_grid_huge_bound(self):
+        from pvw_tpu.parallel import (
+            decrypt_party_shares_grid, encrypt_batch_grid,
+        )
+
+        B = 1 << 56
+        p, gpk, parties, key = self._system(bounds=(B, B))
+        vec = np.array([[d * 5 + r + 1 for r in range(p.n)]
+                        for d in range(4)], np.uint64)
+        k5 = jax.random.fold_in(key, 5)
+        ct_ref = encrypt_batch(vec, gpk, k5)
+        ct = encrypt_batch_grid(vec, gpk, k5, jax.devices()[:8],
+                                limb_groups=2, kdim=2)
+        g = ct.gather()
+        np.testing.assert_array_equal(g.c1.residues_np(),
+                                      ct_ref.c1.residues_np())
+        out = decrypt_party_shares_grid(ct, parties[2].secret_key, 2)
+        assert out == [int(vec[d][2]) for d in range(4)]
