@@ -191,6 +191,14 @@ def main() -> None:
     gpk.generate_all_keys_device(coeffs, jax.random.fold_in(key, 1))
     log(f"keygen for {N_RECEIVERS} parties in {time.time() - t0:.2f}s")
 
+    # Drain the CRS+keygen queue NOW with a scalar fetch so the warmup
+    # split below attributes time honestly (compile vs execute), instead
+    # of folding leftover keygen work into the warmup number.
+    t0 = time.time()
+    bd0 = gpk.encrypt_operands()[1]
+    _ = np.asarray(bd0[(0,) * bd0.ndim])
+    log(f"keygen queue drain (scalar fetch) in {time.time() - t0:.2f}s")
+
     rng = np.random.default_rng(0)
     scalars = rng.integers(0, 1 << 32, size=(BATCH, N_RECEIVERS), dtype=np.uint64)
     sc_hi, sc_lo = _scalars_to_pairs(scalars)
@@ -209,9 +217,17 @@ def main() -> None:
     # before device completion, so the timed loop would otherwise pile on
     # top of an undrained queue (CRS + keygen + warmup still executing)
     # and collapse 10-600x. A scalar fetch is the only reliable barrier.
+    # Split the warmup: jit compiles synchronously inside the first call,
+    # so t_dispatch ≈ trace+compile and t_fetch ≈ first device execution
+    # (the queue was drained above) — this distinguishes a slow-compile
+    # session from a degraded-tunnel session in the BENCH log.
     out0 = run(0)
+    t_dispatch = time.time() - t0
     _ = np.asarray(out0[0][(0,) * out0[0].ndim])
-    log(f"warmup (compile + run) in {time.time() - t0:.2f}s")
+    t_fetch = time.time() - t0 - t_dispatch
+    log(f"warmup (compile + run) in {t_dispatch + t_fetch:.2f}s "
+        f"(trace+compile {t_dispatch:.2f}s, first execute+fetch "
+        f"{t_fetch:.2f}s)")
 
     # Throughput timing: pipeline all dispatches, one scalar-slice sync at
     # the end. Mid-loop fetches expose a ~25-30 ms round trip per sync
