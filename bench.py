@@ -59,7 +59,10 @@ BATCH = 8192
 PRESET_BATCH = {
     "pvss_8192": 2048,
     "shares_n1024": 1024,
-    "threshold_256bit": 512,
+    # r4 same-session A/B: 2892 enc/s at batch 256 vs 2703 at 512 — the
+    # deep chain's 2.28 GB/batch prescale band turns bigger batches into
+    # HBM pressure, not amortization
+    "threshold_256bit": 256,
     # r4 sweep: 8283/15202/17585/17311/16317 enc/s at batch 64/128/256/
     # 512/1024 — the n=64 shape is dispatch-bound until ~256
     "broadcast_128bit": 256,

@@ -17,6 +17,10 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import jax
 import jax.numpy as jnp
 
+from pvw_tpu.utils.profiling import enable_compilation_cache
+
+enable_compilation_cache()
+
 from pvw_tpu.ops import modmat, ntt as ntt_ops, u64 as u64op
 from pvw_tpu.ops.pallas_modmat import (
     _gen_noise_extra, _noise_vals_mode, _pick_tiles, encode_tab,
