@@ -4,7 +4,8 @@ total (profile_config4.py) — 61% of the encryption cost at the deep
 17x61-bit chain, vs ~30% at the headline shape. Compares the production
 XLA path against the fused one-pass Pallas kernel (ntt_prescale_band),
 which the headline-shape probe rejected (24.7 vs 20.9 ms there), and
-pins bit-identity. Run: python benchmarks/probe_rstage_cfg4.py [batch].
+pins bit-identity. Run: python benchmarks/probe_rstage_cfg4.py [batch]
+[preset] (default threshold_256bit; any pvw_tpu.params.presets name).
 """
 
 from __future__ import annotations
@@ -31,6 +32,7 @@ from pvw_tpu.params import presets
 from pvw_tpu.sampling.cbd import cbd_bound, sample_vec_cbd_rows
 
 D = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+PRESET = sys.argv[2] if len(sys.argv) > 2 else "threshold_256bit"
 
 
 def _sync(out):
@@ -52,11 +54,12 @@ def bench(name, fn, *args, iters=8):
 
 
 def main():
-    params = presets.threshold_256bit()
+    params = presets.get_preset(PRESET)
     ring = params.ring
     k, l = params.k, params.l
     bound = cbd_bound(params.secret_variance)
-    print(f"k={k} l={l} L={ring.num_limbs} nd={ring.num_digits} batch={D} "
+    print(f"{PRESET}: k={k} l={l} L={ring.num_limbs} nd={ring.num_digits} "
+          f"batch={D} "
           f"tile={_prescale_tile(ring, k, D)} "
           f"avail={ntt_prescale_available(ring, k, D, bound)}", flush=True)
     key = jax.random.key(3)

@@ -55,6 +55,18 @@ noise_value_mac      PVW_TPU_NOISE_VALS    Use the value-plane noise MAC when
                                            its VMEM cost allows (True; set the
                                            env var to ``0`` to force the
                                            digit-plane MAC).
+fused_prescale       PVW_TPU_FUSED_        r-stage NTT+prescale engine:
+                     PRESCALE              ``"auto"`` (default: the one-pass
+                                           Pallas kernel on deep chains,
+                                           nd >= 8, where it measured 0.78-
+                                           0.89x the XLA pipeline; XLA
+                                           elsewhere — at nd=5 the kernel
+                                           measured 1.18-1.26x, BASELINE.md
+                                           round-4 rows), ``"1"`` (force the
+                                           kernel when available), ``"0"``
+                                           (always the XLA pipeline). Both
+                                           engines are bit-identical
+                                           (tests/test_swapped.py).
 swapped_form         PVW_TPU_SWAPPED       EXPERIMENTAL: swapped-operand
                                            encryption kernel (Shoup scales on
                                            the cached lhs planes, plain-digit
@@ -127,6 +139,7 @@ class Settings:
                              lambda raw: raw == "1")
     noise_value_mac: bool = _Knob("PVW_TPU_NOISE_VALS", True,
                                   lambda raw: raw != "0")
+    fused_prescale: str = _Knob("PVW_TPU_FUSED_PRESCALE", "auto")
     swapped_form: bool = _Knob("PVW_TPU_SWAPPED", False, _parse_bool)
     trace: bool = _Knob("PVW_TPU_TRACE", False, _parse_bool)
     jax_cache_dir: Optional[str] = _Knob("PVW_TPU_JAX_CACHE", None)
@@ -149,6 +162,21 @@ class Settings:
     def use_v4_noise(self) -> bool:
         """True when encryption noise uses the in-kernel stream (v4)."""
         return self.noise_stream != "v3"
+
+    def use_fused_prescale(self, num_digits: int) -> bool:
+        """True when the r-stage should take the one-pass Pallas
+        NTT+prescale kernel (callers must still check
+        :func:`~pvw_tpu.ops.pallas_modmat.ntt_prescale_available`).
+        ``auto``: deep chains only — the kernel measured 0.78-0.89x the
+        XLA pipeline at nd=8 (all three 61-bit-limb presets) but
+        1.18-1.26x at nd=5 (headline family); nd=6-7 is unmeasured and
+        defaults to the XLA path."""
+        mode = self.fused_prescale
+        if mode == "1":
+            return True
+        if mode == "0":
+            return False
+        return num_digits >= 8
 
     def __repr__(self) -> str:
         body = ", ".join(f"{k}={v!r}" for k, v in self.describe().items())

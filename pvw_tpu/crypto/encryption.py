@@ -140,9 +140,7 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
     # coefficients [k, d, l] -> NTT via the small-coefficient path (CBD
     # values fit one signed digit)                       (encryption.rs:132-154)
     r_coeffs = sample_vec_cbd_rows(k_r, 0, k, (d, l), params.secret_variance)
-    r_ch = ntt_ops.ntt_forward_signed_ch(
-        r_coeffs, ring, cbd_bound(params.secret_variance)
-    )                                                           # [L, l, k, d]
+    r_bound = cbd_bound(params.secret_variance)
 
     # Structure, measured on v5e (benchmarks/ablate_encrypt.py + probes):
     # both matrix products run through the fused Pallas matmul+fold on
@@ -204,9 +202,19 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
     # shape). Banded form: prescale the digits ONCE (scaled-digit form,
     # see ops/modmat.prescale_digits_band) so each matmul contracts over
     # (k, nd) and folds only nd narrow columns.
+    from ..ops.pallas_modmat import ntt_prescale_available, ntt_prescale_band
+
     if swapped:
+        r_ch = ntt_ops.ntt_forward_signed_ch(r_coeffs, ring, r_bound)
         r_op = modmat.rhs_digit_cols(r_ch, ring)        # [L,l,k*nd,d]
+    elif (settings.use_fused_prescale(ring.num_digits)
+          and ntt_prescale_available(ring, k, d, r_bound)):
+        # deep chains (nd >= 8): the one-pass Pallas NTT+prescale kernel
+        # measured 0.78-0.89x the XLA pipeline below (BASELINE.md r4;
+        # bit-identical, tests/test_swapped.py)
+        r_op = ntt_prescale_band(r_coeffs, ring, r_bound)
     else:
+        r_ch = ntt_ops.ntt_forward_signed_ch(r_coeffs, ring, r_bound)
         r_op = modmat.prescale_digits_band(r_ch, ring)  # [L,l,nd,k*nd,d]
 
     def _product(lhs_dig, gen_noise=None, noise=None, encode=None,

@@ -1079,6 +1079,10 @@ def _ntt_prescale_body(C1: int, ljr: int, nd: int, G: int):
     ljr] i32 SMEM; xd [ljr, k, TD] i8; out [1, nd, k*nd, TD] i8."""
 
     def body(tabs_ref, ntab_ref, xd_ref, out_ref):
+        # ntab is blocked per grid channel (the full [CH, C1, ljr] table
+        # SMEM-pads past the 1 MB scalar memory at deep chains, CH=272 —
+        # same fix as the noise kernel's twiddle table); tabs [CH, W]
+        # stays whole (W <= 40 pads to ~140 KB at CH=272)
         ch = pl.program_id(2)
         t = tabs_ref
         qh, ql = t[ch, 0], t[ch, 1]
@@ -1098,7 +1102,7 @@ def _ntt_prescale_body(C1: int, ljr: int, nd: int, G: int):
                     break
                 col = zeros
                 for r in range(ljr):
-                    col = col + xs[r] * ntab_ref[ch, c, r]
+                    col = col + xs[r] * ntab_ref[0, c, r]
                 uc = (col + jnp.int32(-0x80000000)).astype(u.U32)
                 if r4 == 0:
                     th, tl = jnp.zeros_like(uc), uc
@@ -1198,7 +1202,8 @@ def ntt_prescale_band(coeffs, ring: "RingPlan", max_abs: int,
         grid=(d // td, k // kt, CH),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),        # tabs
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # ntab
+            pl.BlockSpec((1, C1, ljr), lambda j, ik, c: (c, 0, 0),
+                         memory_space=pltpu.SMEM),        # ntab (per-ch)
             pl.BlockSpec((ljr, kt, td), lambda j, ik, c: (0, ik, j),
                          memory_space=pltpu.VMEM),
         ],

@@ -162,12 +162,24 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         r_coeffs = sample_vec_cbd_rows(
             k_r, my_k * kc, kc, (d, l), params.secret_variance
         )                                                      # [kc, d, l]
-        rb_ch = ntt_ops.ntt_forward_signed_ch(
-            r_coeffs, ring, cbd_bound(params.secret_variance)
-        )                                                      # [L, l, kc, d]
         # prescale the local r block once; both local products reuse it
-        # (same fused Pallas kernel as the single-device path)
-        r_scaled = modmat.prescale_digits_band(rb_ch, ring)
+        # (same engines as the single-device path: the one-pass Pallas
+        # NTT+prescale on deep chains, the XLA pipeline elsewhere —
+        # bit-identical either way)
+        from ..config import settings
+        from ..ops.pallas_modmat import (
+            ntt_prescale_available, ntt_prescale_band,
+        )
+
+        r_bound = cbd_bound(params.secret_variance)
+        if (settings.use_fused_prescale(ring.num_digits)
+                and ntt_prescale_available(ring, kc, d, r_bound)):
+            r_scaled = ntt_prescale_band(r_coeffs, ring, r_bound)
+        else:
+            rb_ch = ntt_ops.ntt_forward_signed_ch(
+                r_coeffs, ring, r_bound
+            )                                                  # [L, l, kc, d]
+            r_scaled = modmat.prescale_digits_band(rb_ch, ring)
         whole_k = kd == 1  # contraction local -> no kdim partial sums
 
         # encode of the local scalars (sc sharded over recv on axis 1):

@@ -59,8 +59,22 @@ def test_describe_lists_every_knob():
     assert set(d) == {
         "noise_stream", "decode_mode", "decode_crossover", "no_native",
         "num_digits", "tile_m", "tile_n", "no_pallas", "dots_first",
-        "noise_value_mac", "swapped_form", "trace", "jax_cache_dir",
+        "noise_value_mac", "fused_prescale", "swapped_form", "trace",
+        "jax_cache_dir",
     }
+
+
+def test_fused_prescale_policy(monkeypatch):
+    # auto: deep chains (nd >= 8) only — the measured win boundary
+    # (BASELINE.md round-4 r-stage rows)
+    assert settings.fused_prescale == "auto"
+    assert settings.use_fused_prescale(8) is True
+    assert settings.use_fused_prescale(5) is False
+    assert settings.use_fused_prescale(7) is False  # unmeasured -> XLA
+    monkeypatch.setenv("PVW_TPU_FUSED_PRESCALE", "1")
+    assert settings.use_fused_prescale(5) is True
+    monkeypatch.setenv("PVW_TPU_FUSED_PRESCALE", "0")
+    assert settings.use_fused_prescale(8) is False
 
 
 def test_library_sites_route_through_settings(monkeypatch):
