@@ -486,6 +486,22 @@ _VMEM_LIMIT = 15 * 1024 * 1024
 # for (512, 128) => +1.4% (BASELINE.md round-4 rows).
 _VMEM_LIMIT_TALL = 28_700_000
 
+# Round-4 deep-chain envelopes, same method as the tall gate (the cost
+# model over-counts the real Mosaic stack by shape-dependent factors, so
+# each gate admits only shapes elementwise <= a shape hardware accepted,
+# bounded by the model cost of the largest accepted member):
+#
+# - MID (512, 128) for kd <= 2048, C <= 8: accepted at the shares_n1024
+#   family (encrypt c2 kd=2048/extra 56 -> model 17.83M, keygen — real
+#   stack fit 16M; end-to-end 57,238 -> 60,724 enc/s, +6.1%). The
+#   (1024, 128) neighbor was REJECTED there (keygen stack 16.49M).
+# - DEEP (256, 128) for kd <= 4096, C <= 8: accepted at the
+#   threshold_256bit family (c2 kd=4096/extra 72 -> model 17.30M; c1,
+#   keygen too; end-to-end 3,257 -> 3,761 enc/s, +15.5%). The (512, 128)
+#   neighbor was REJECTED there (encrypt stack 17.00M > 16M).
+_VMEM_LIMIT_MID = 17_825_792
+_VMEM_LIMIT_DEEP = 17_301_504
+
 
 def _tile_cost(tile_m: int, tile_n: int, kd: int, C: int,
                extra_mn: int = 0) -> int:
@@ -517,7 +533,16 @@ def _pick_tiles(m: int, n: int, kd: int, C: int, extra_mn: int = 0):
         return 1024, 128
     for tile_m, tile_n in ((512, 128), (256, 256), (256, 128), (128, 256),
                            (128, 128), (64, 256), (64, 128)):
-        if _tile_cost(tile_m, tile_n, kd, C, extra_mn) <= _VMEM_LIMIT:
+        # the envelope gates require m >= tile_m: every accepted member
+        # had a full first tile, and a taller-than-m tile is pure padding
+        limit = _VMEM_LIMIT
+        if (tile_m, tile_n) == (512, 128) and m >= 512 \
+                and kd <= 2048 and C <= 8:
+            limit = _VMEM_LIMIT_MID        # hardware-validated envelope
+        elif (tile_m, tile_n) == (256, 128) and m >= 256 \
+                and kd <= 4096 and C <= 8:
+            limit = _VMEM_LIMIT_DEEP       # hardware-validated envelope
+        if _tile_cost(tile_m, tile_n, kd, C, extra_mn) <= limit:
             return tile_m, tile_n
     return None
 
