@@ -37,8 +37,7 @@ decode_crossover     PVW_TPU_DECODE_       Batch size below which ``auto``
                      CROSSOVER             decodes on the host (64; measured
                                            break-even, BASELINE.md).
 no_native            PVW_TPU_NO_NATIVE     Disable the C++ decode engine
-                                           (False; any non-empty value
-                                           disables).
+                                           (False).
 num_digits           PVW_NUM_DIGITS        Force the int8 digit width of the
                                            modmat decomposition (default: the
                                            minimal exact width per modulus
@@ -52,8 +51,8 @@ no_pallas            PVW_NO_PALLAS         Force the XLA fallback kernels even
 dots_first           PVW_TPU_DOTS_FIRST    Kernel experiment: issue all MXU
                                            dots before the fold (False).
 noise_value_mac      PVW_TPU_NOISE_VALS    Use the value-plane noise MAC when
-                                           its VMEM cost allows (True; set the
-                                           env var to ``0`` to force the
+                                           its VMEM cost allows (True; set a
+                                           falsy value to force the
                                            digit-plane MAC).
 fused_prescale       PVW_TPU_FUSED_        r-stage NTT+prescale engine:
                      PRESCALE              ``"auto"`` (default: the one-pass
@@ -80,6 +79,12 @@ jax_cache_dir        PVW_TPU_JAX_CACHE     Persistent JAX compilation cache
                                            directory (repo-local
                                            ``.jax_cache``).
 ===================  ====================  =======================================
+
+Boolean knobs share ONE convention (round 5): the env values ``0``,
+``false``, ``off``, ``no`` (case-insensitive) are falsy; any other
+non-empty value is truthy; unset/empty means the default. In particular
+``PVW_TPU_NO_NATIVE=0`` now means "native stays enabled" (it historically
+meant the opposite — any non-empty value disabled).
 """
 
 from __future__ import annotations
@@ -90,9 +95,15 @@ from typing import Callable, Optional
 _UNSET = object()
 
 
+#: One boolean convention for every knob (round-5 unification, VERDICT r4
+#: weak #6): these strings are falsy, any other non-empty value is truthy.
+#: (Historically PVW_TPU_NO_NATIVE=0 *disabled* the native engine while
+#: PVW_TPU_NOISE_VALS=0 meant off — three conventions across one table.)
+_FALSY = frozenset({"0", "false", "off", "no"})
+
+
 def _parse_bool(raw: str) -> bool:
-    # exact historical semantics: any non-empty value is truthy ("0" too)
-    return bool(raw)
+    return raw.strip().lower() not in _FALSY
 
 
 class _Knob:
@@ -135,10 +146,8 @@ class Settings:
     tile_m: Optional[int] = _Knob("PVW_TILE_M", None, int)
     tile_n: Optional[int] = _Knob("PVW_TILE_N", None, int)
     no_pallas: bool = _Knob("PVW_NO_PALLAS", False, _parse_bool)
-    dots_first: bool = _Knob("PVW_TPU_DOTS_FIRST", False,
-                             lambda raw: raw == "1")
-    noise_value_mac: bool = _Knob("PVW_TPU_NOISE_VALS", True,
-                                  lambda raw: raw != "0")
+    dots_first: bool = _Knob("PVW_TPU_DOTS_FIRST", False, _parse_bool)
+    noise_value_mac: bool = _Knob("PVW_TPU_NOISE_VALS", True, _parse_bool)
     fused_prescale: str = _Knob("PVW_TPU_FUSED_PRESCALE", "auto")
     swapped_form: bool = _Knob("PVW_TPU_SWAPPED", False, _parse_bool)
     trace: bool = _Knob("PVW_TPU_TRACE", False, _parse_bool)
@@ -169,13 +178,28 @@ class Settings:
         :func:`~pvw_tpu.ops.pallas_modmat.ntt_prescale_available`).
         ``auto``: deep chains only — the kernel measured 0.78-0.89x the
         XLA pipeline at nd=8 (all three 61-bit-limb presets) but
-        1.18-1.26x at nd=5 (headline family); nd=6-7 is unmeasured and
-        defaults to the XLA path."""
+        1.18-1.26x at nd=5 (headline family); nd=6-7 routing is pinned
+        by measurement in BASELINE.md (round-5 r-stage probes).
+
+        The mode is normalized: booleans and the standard truthy/falsy
+        strings all force the choice; unknown strings warn once and fall
+        back to ``auto`` rather than being silently ignored."""
         mode = self.fused_prescale
-        if mode == "1":
+        if isinstance(mode, bool):
+            return mode
+        norm = str(mode).strip().lower()
+        if norm in ("1", "true", "on", "yes", "force"):
             return True
-        if mode == "0":
+        if norm in _FALSY:
             return False
+        if norm != "auto":
+            import warnings
+
+            warnings.warn(
+                f"PVW_TPU_FUSED_PRESCALE={mode!r} is not a recognized mode "
+                "(auto/1/0/true/false/on/off); using 'auto'",
+                stacklevel=2,
+            )
         return num_digits >= 8
 
     def __repr__(self) -> str:

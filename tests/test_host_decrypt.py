@@ -6,12 +6,11 @@ bit-identical to the device stage + Python decode oracle on ARBITRARY
 residues, not just well-formed ciphertexts (``decryption.rs:249-278``).
 """
 
-import os
-
 import numpy as np
 import jax
 import pytest
 
+from pvw_tpu.config import settings
 from pvw_tpu.crypto import decryption as dec
 from pvw_tpu.keys.secret_key import SecretKey
 from pvw_tpu.ops import u64 as u64op
@@ -19,7 +18,7 @@ from pvw_tpu.params.parameters import PvwParameters, PvwParametersBuilder
 from pvw_tpu.utils import native_decode
 
 pytestmark = pytest.mark.skipif(
-    os.environ.get("PVW_TPU_NO_NATIVE") or native_decode._lib() is None,
+    settings.no_native or native_decode._lib() is None,
     reason="native decode engine unavailable",
 )
 

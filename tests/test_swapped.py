@@ -4,8 +4,10 @@
   plain-digit rhs — DESIGN.md §5f; opt-in via settings.swapped_form,
   measured ~5% slower end-to-end at the headline, kept as a measured
   branch);
-- the fused NTT+prescale kernel (ntt_prescale_band — measured at XLA
-  parity, not wired; kept as the r-stage probe).
+- the fused NTT+prescale kernel (ntt_prescale_band — routed by DEFAULT
+  as the r-stage engine on deep chains, nd >= 8, in both encrypt paths
+  since round 4: measured 0.78-0.89x the XLA pipeline there, 1.18-1.26x
+  at nd=5; settings.fused_prescale routes, BASELINE.md r-stage rows).
 
 Both must stay bit-identical to the production banded/XLA paths.
 """
