@@ -22,12 +22,18 @@ Attribute            Env var               Meaning (default)
 ===================  ====================  =======================================
 noise_stream         PVW_TPU_NOISE         Encryption-noise stream: ``"kernel"``
                                            (stream v4: in-kernel per-tile-seeded
-                                           TPU hardware PRNG, the fast path;
-                                           DEFAULT) or ``"v3"`` (counter-based
-                                           threefry — a specified CSPRNG,
-                                           bit-identical to the CPU backend).
-                                           See README "Noise streams & threat
-                                           model". Off-TPU always uses v3.
+                                           TPU hardware PRNG, the fast path),
+                                           ``"v3k"`` (in-kernel
+                                           Threefry-2x32-20 — a SPECIFIED
+                                           CSPRNG fused into the matmul
+                                           kernel, bit-identical across
+                                           backends and mesh shapes;
+                                           ops/tfry.py), or ``"v3"`` (legacy
+                                           separate threefry pass). See README
+                                           "Noise streams & threat model" for
+                                           the default decision. Off-TPU,
+                                           "kernel" falls back to v3 planes;
+                                           "v3k" keeps its exact stream.
 decode_mode          PVW_TPU_DECODE        Decode engine: ``"auto"`` (default:
                                            route small batches to the host
                                            engine, everything else on-device),
@@ -169,8 +175,21 @@ class Settings:
         }
 
     def use_v4_noise(self) -> bool:
-        """True when encryption noise uses the in-kernel stream (v4)."""
+        """True when encryption noise uses an in-kernel stream (v4 or
+        v3k) — i.e. anything but the legacy separate-pass v3."""
         return self.noise_stream != "v3"
+
+    def kernel_noise_stream(self) -> Optional[str]:
+        """Which in-kernel noise generator to use: ``"v4"`` (hardware
+        PRNG), ``"v3k"`` (in-kernel Threefry-2x32-20 — a specified
+        CSPRNG, bit-identical across backends and mesh shapes), or None
+        (legacy stream v3: separate threefry pass)."""
+        s = self.noise_stream
+        if s == "v3":
+            return None
+        if s == "v3k":
+            return "v3k"
+        return "v4"
 
     def use_fused_prescale(self, num_digits: int) -> bool:
         """True when the r-stage should take the one-pass Pallas

@@ -102,9 +102,10 @@ class PvwCiphertext:
 # the jitted batched kernel
 # --------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=(0, 6))
+@partial(jax.jit, static_argnums=(0, 6, 9))
 def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
-                    encode32: bool = False, host_e1=None, host_e2=None):
+                    encode32: bool = False, host_e1=None, host_e2=None,
+                    stream: str | None = "v4"):
     """d-batched PVW encryption.
 
     a_dig: CRS digit planes int8 [L, l, k, k*nd]; b_dig: global pk digit
@@ -166,25 +167,49 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
     )
     from ..ops.ntt import signed_digit_count
 
-    use_v4 = settings.use_v4_noise()
+    # stream routing (the ``stream`` STATIC argument — callers read
+    # config.settings.kernel_noise_stream() at call time so a settings
+    # change re-traces instead of silently reusing a stale stream):
+    # "v4" = in-kernel hardware PRNG, "v3k" = in-kernel Threefry-2x32-20
+    # (specified CSPRNG, bit-identical across backends — ops/tfry.py),
+    # None = legacy v3 separate threefry pass. The swapped kernel
+    # variant supports v4 only.
 
     def _gen_noise(kk, rows, bound, has_post, has_encode):
-        """(seeds, jr, bound) for the in-kernel PRNG path, or None."""
-        if not use_v4:
+        """(seeds, jr, bound[, "tfry"]) for the in-kernel PRNG path, or
+        None (v3 / fallback planes)."""
+        if stream is None:
             return None
         jr = signed_digit_count(bound)
-        avail = (swapped_available(ring, rows, d, k, bound, has_encode)
-                 if swapped else kernel_noise_available(
-                     ring, rows, d, k, bound, has_post, has_encode))
+        if swapped:
+            avail = stream == "v4" and swapped_available(
+                ring, rows, d, k, bound, has_encode)
+        else:
+            avail = kernel_noise_available(
+                ring, rows, d, k, bound, has_post, has_encode,
+                tfry=stream == "v3k")
         if not jr or not avail:
             return None
         kd_words = jax.lax.bitcast_convert_type(
             jax.random.key_data(kk).reshape(2), jnp.int32)
         seeds = jnp.concatenate([kd_words, jnp.zeros(2, jnp.int32)])
+        if stream == "v3k":
+            return (seeds, jr, int(bound), "tfry")
         return (seeds, jr, int(bound))
 
     def _noise_planes(kk, rows, bound):
-        """int8 signed-digit planes [l*jr, rows, d], or None (big bound)."""
+        """int8 signed-digit planes [l*jr, rows, d], or None (big bound).
+        Under v3k the planes come from the v3k reference stream (the
+        XLA twin of the in-kernel threefry — bit-identical values), so a
+        given noise_stream setting means ONE stream regardless of
+        backend or kernel availability."""
+        if stream == "v3k":
+            from ..ops import tfry
+
+            if not signed_digit_count(bound):
+                return None
+            k0, k1 = tfry.key_words(kk)
+            return tfry.v3k_noise_digit_planes(k0, k1, 0, rows, d, l, bound)
         return ntt_ops.noise_digit_planes(kk, 0, rows, d, l, bound)
 
     def _noise_residues_ch(kk, rows, bound):
@@ -393,6 +418,8 @@ def encrypt_batch(all_scalars, global_pk: GlobalPublicKey,
             "Parameters do not satisfy correctness condition - decryption "
             "may fail"
         )
+    from ..config import settings
+
     sc_hi, sc_lo = _scalars_to_pairs(arr)
     encode32 = not bool(np.any(arr >> np.uint64(32)))
     # bounds >= min(q_i): exact host sampling (the reference's BigInt
@@ -407,7 +434,7 @@ def encrypt_batch(all_scalars, global_pk: GlobalPublicKey,
         a_dig, b_dig = global_pk.encrypt_operands()
     c1h, c1l, c2h, c2l = _encrypt_kernel(
         params, a_dig, b_dig, sc_hi, sc_lo, key, encode32,
-        host_e1, host_e2,
+        host_e1, host_e2, settings.kernel_noise_stream(),
     )
     c1 = Poly.from_channel_major(c1h, c1l, Representation.Ntt, params.ring)
     c2 = Poly.from_channel_major(c2h, c2l, Representation.Ntt, params.ring)

@@ -195,35 +195,75 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
                    + jax.lax.broadcasted_iota(jnp.int32, (tm, n), 0))
             row_ok = (rid >= seed_ref[3]) & (rid < seed_ref[4])
         if gen_noise is not None:
-            ldeg, jr, bound = gen_noise
-            rng32 = jnp.uint32(2 * bound + 1)
+            ldeg, jr, bound = gen_noise[:3]
+            tfry = len(gen_noise) > 3 and bool(gen_noise[3])
+            # numpy scalar, not jnp: a trace-time jnp array would be a
+            # captured pallas_call constant (rejected off-TPU)
+            rng32 = np.uint32(2 * bound + 1)
+
+            def _store(jj, sv):
+                if masked:
+                    # same bits drawn, rows outside the shard's range
+                    # contribute zero (additive identity pre-fold)
+                    sv = jnp.where(row_ok, sv, 0)
+                if noise_vals:
+                    noise_scr[jj] = sv                    # value plane
+                elif jr == 1:
+                    noise_scr[jj] = sv.astype(jnp.int8)
+                else:
+                    d0, d1 = v4_digit_split(sv)
+                    noise_scr[2 * jj] = d0.astype(jnp.int8)
+                    noise_scr[2 * jj + 1] = d1.astype(jnp.int8)
+
+            # program_id reads hoisted OUT of the pl.when closure: the
+            # interpret-mode executor only rewrites program_id at the
+            # kernel jaxpr's top level, not inside cond sub-jaxprs
+            i = pl.program_id(0)
+            j = pl.program_id(1)
 
             @pl.when(pl.program_id(ch_axis) == 0)
             def _generate():
-                i = pl.program_id(0)
-                j = pl.program_id(1)
                 row0 = seed_ref[2] + i * tm
-                mix = v4_blockmix(row0, j * n)
-                pltpu.prng_seed(seed_ref[0] ^ mix, seed_ref[1])
-                for jj in range(ldeg):
-                    bits = pltpu.bitcast(
-                        pltpu.prng_random_bits((3, tm, n)), u.U32)
-                    # v = floor(x96 * range / 2^96): exact 96-bit scaled
-                    # reduction (the sample_bounded_u64 fast path).
-                    v = v4_reduce96(bits[0], bits[1], bits[2], rng32)
-                    sv = v.astype(jnp.int32) - bound      # [-bound, bound]
-                    if masked:
-                        # same bits drawn, rows outside the shard's range
-                        # contribute zero (additive identity pre-fold)
-                        sv = jnp.where(row_ok, sv, 0)
-                    if noise_vals:
-                        noise_scr[jj] = sv                # value plane
-                    elif jr == 1:
-                        noise_scr[jj] = sv.astype(jnp.int8)
-                    else:
-                        d0, d1 = v4_digit_split(sv)
-                        noise_scr[2 * jj] = d0.astype(jnp.int8)
-                        noise_scr[2 * jj + 1] = d1.astype(jnp.int8)
+                if tfry:
+                    # stream v3k: Threefry-2x32-20 on GLOBAL (row, col,
+                    # coeff-pair) counters — a specified CSPRNG whose
+                    # stream is independent of tile geometry and mesh
+                    # shape, reproduced bit-identically off-TPU by
+                    # ops.tfry.v3k_values (pure VPU int32 ops; no
+                    # hardware-PRNG primitives). Both threefry output
+                    # words feed the SAME element: 1.5 evals per value,
+                    # the same arithmetic as the XLA pass it fuses away.
+                    from .tfry import threefry2x32
+
+                    k0 = seed_ref[0].astype(u.U32)
+                    k1 = seed_ref[1].astype(u.U32)
+                    rows_g = (row0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (tm, n), 0)).astype(u.U32)
+                    cols_g = (j * n + jax.lax.broadcasted_iota(
+                        jnp.int32, (tm, n), 1)).astype(u.U32)
+                    base = cols_g * np.uint32(ldeg // 2)
+                    for jjp in range(ldeg // 2):
+                        ws = []
+                        for t in range(3):
+                            x1c = ((base + np.uint32(jjp)) << 2) \
+                                | np.uint32(t)
+                            ws.append(threefry2x32(k0, k1, rows_g, x1c))
+                        v_e = v4_reduce96(ws[0][0], ws[1][0], ws[2][0],
+                                          rng32)
+                        v_o = v4_reduce96(ws[0][1], ws[1][1], ws[2][1],
+                                          rng32)
+                        _store(2 * jjp, v_e.astype(jnp.int32) - bound)
+                        _store(2 * jjp + 1, v_o.astype(jnp.int32) - bound)
+                else:
+                    mix = v4_blockmix(row0, j * n)
+                    pltpu.prng_seed(seed_ref[0] ^ mix, seed_ref[1])
+                    for jj in range(ldeg):
+                        bits = pltpu.bitcast(
+                            pltpu.prng_random_bits((3, tm, n)), u.U32)
+                        # v = floor(x96 * range / 2^96): exact 96-bit
+                        # scaled reduction (sample_bounded_u64 fast path).
+                        v = v4_reduce96(bits[0], bits[1], bits[2], rng32)
+                        _store(jj, v.astype(jnp.int32) - bound)
             noise_ref = noise_scr
         elif has_noise and noise_vals and in_jr:
             # input digit planes -> int32 value planes, once per (i, j)
@@ -528,7 +568,12 @@ def _pick_tiles(m: int, n: int, kd: int, C: int, extra_mn: int = 0):
     # amortize the banded rhs block better per output element); the
     # (1024, 128) tile is +1.4% again where its gate admits it (see
     # _VMEM_LIMIT_TALL).
-    if (1024 <= m <= 4096 and kd <= 1280 and C <= 9
+    # n >= 8192 (round 5): the real Mosaic stack varies with the n extent
+    # too — (1024, 128) at m=4096/kd=1280 compiled at n=8192..12288 (every
+    # r4-validated member) but hit 16.13M > 16M at n=1024 (v4 production
+    # kernel, measured this round); below the validated n range the pick
+    # falls to (512, 128), the r1-r3 hardware-validated default
+    if (1024 <= m <= 4096 and n >= 8192 and kd <= 1280 and C <= 9
             and _tile_cost(1024, 128, kd, C, extra_mn) <= _VMEM_LIMIT_TALL):
         return 1024, 128
     for tile_m, tile_n in ((512, 128), (256, 256), (256, 128), (128, 256),
@@ -707,14 +752,17 @@ def _encode_residues_xla(encode, L, S, ring: "RingPlan"):
 
 
 def _gen_noise_extra(ljr: int, has_post: bool, has_encode: bool,
-                     vals_planes: int = 0) -> int:
+                     vals_planes: int = 0, tfry: bool = False) -> int:
     """extra_mn bytes/element for the gen_noise kernel variant: the VMEM
     noise scratch (ljr int8 planes, or ``vals_planes`` int32 value planes
     — both single-buffered, so half their byte count here since the cost
     model doubles every extra_mn byte) + PRNG generation temporaries +
-    the optional post/encode blocks."""
+    the optional post/encode blocks. ``tfry``: stream v3k carries more
+    generation temporaries (6 threefry word planes + 2 counter planes
+    live across the reduce) than the hardware-PRNG path."""
     scr = 2 * vals_planes if vals_planes else ljr
-    return scr + 24 + (12 if has_post else 0) + (16 if has_encode else 0)
+    return (scr + (40 if tfry else 24) + (12 if has_post else 0)
+            + (16 if has_encode else 0))
 
 
 def _noise_vals_mode(ring: "RingPlan", k: int, jr: int,
@@ -739,12 +787,16 @@ def _noise_vals_mode(ring: "RingPlan", k: int, jr: int,
 
 def kernel_noise_available(ring: "RingPlan", m: int, n: int, k: int,
                            bound: int, has_post: bool = False,
-                           has_encode: bool = True) -> bool:
+                           has_encode: bool = True,
+                           tfry: bool = False) -> bool:
     """True when :func:`matmul_fold_scaled` can take the fused Pallas path
     with IN-KERNEL noise generation (``gen_noise``) for these shapes: TPU
     backend, bound within the signed-digit range, and tiles that fit
     VMEM. Callers must check this BEFORE choosing the stream-v4 path —
-    the XLA fallback cannot reproduce the hardware PRNG."""
+    the XLA fallback cannot reproduce the hardware PRNG. ``tfry``:
+    check the stream-v3k (in-kernel threefry) variant instead (its VMEM
+    temporaries are larger; its XLA fallback IS bit-identical, but
+    callers still route through this check to fuse when possible)."""
     from ..config import settings
     from .ntt import signed_digit_count
 
@@ -757,7 +809,8 @@ def kernel_noise_available(ring: "RingPlan", m: int, n: int, k: int,
     # availability uses the digit-mode VMEM cost (never larger than the
     # value-plane cost; matmul_fold_scaled falls back to digit mode when
     # value planes would shrink the tile)
-    extra = _gen_noise_extra(ring.degree * jr, has_post, has_encode)
+    extra = _gen_noise_extra(ring.degree * jr, has_post, has_encode,
+                             tfry=tfry)
     tiles = _pick_tiles(m, n, k * nd, nd, extra)
     if tiles is None:
         return False
@@ -868,6 +921,10 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
             oh, ol = u.addmod(oh, ol, eh, el, qh, ql)
         return oh, ol
 
+    # gen_noise: (seeds, jr, bound) for stream v4 (hardware PRNG) or
+    # (seeds, jr, bound, "tfry") for stream v3k (in-kernel threefry)
+    gen_tfry = gen_noise is not None and len(gen_noise) > 3 \
+        and gen_noise[3] == "tfry"
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu or settings.no_pallas:
         if gen_noise is not None:
@@ -894,7 +951,8 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
         if gen_noise is not None:
             return _gen_noise_extra(ring.degree * gen_noise[1],
                                     post is not None, encode is not None,
-                                    ring.degree if v else 0)
+                                    ring.degree if v else 0,
+                                    tfry=gen_tfry)
         return (0 if noise is None else
                 (noise.shape[0] + 4 * ring.degree if v
                  else 3 * noise.shape[0])) \
@@ -945,8 +1003,8 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
     n_vals = S if vals else 0
     in_jr = 0
     if gen_noise is not None:
-        seeds, jr, bound = gen_noise
-        gen_static = (ring.degree, int(jr), int(bound))
+        seeds, jr, bound = gen_noise[:3]
+        gen_static = (ring.degree, int(jr), int(bound), gen_tfry)
         ntab = jnp.asarray(
             ring.ntt_scaled_tab(1 if vals else jr), jnp.int32
         ).reshape(L * S, S * (1 if vals else jr), nd)

@@ -117,10 +117,13 @@ def encrypt_batch_grid(all_scalars, global_pk: GlobalPublicKey,
         # bounds >= min(q_i of the FULL ring): exact host sampling, same
         # values on every limb group (the host stream is ring-independent)
         he1, he2 = _host_noise_pairs(sub, key, arr.shape[0], min_q=min_q)
+        from ..config import settings
+
         shards.append(_encrypt_kernel_sharded(
             sub, mesh, a_dig[lo:hi], b_dig[lo:hi], sc_hi, sc_lo, key,
             to_canon(he1) if he1 is not None else None,
             to_canon(he2) if he2 is not None else None,
+            False, settings.kernel_noise_stream(),
         ))
         meshes.append(mesh)
     return GridShardedCiphertext(shards, partition, meshes, params)

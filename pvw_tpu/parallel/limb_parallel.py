@@ -149,8 +149,11 @@ def encrypt_batch_limb_parallel(all_scalars, global_pk: GlobalPublicKey,
         he1, he2 = _host_noise_pairs(sub, key, arr.shape[0],
                                      min_q=min(params.ring.moduli))
         # async dispatch: all devices run concurrently
+        from ..config import settings
+
         results.append(_encrypt_kernel(sub, a_dig, b_dig, sch, scl,
-                                       k_dev, encode32, he1, he2))
+                                       k_dev, encode32, he1, he2,
+                                       settings.kernel_noise_stream()))
     return LimbShardedCiphertext(results, partition, params)
 
 

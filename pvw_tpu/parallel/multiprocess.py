@@ -112,8 +112,11 @@ def run_worker(process_id: int, num_processes: int, port: int,
     kd = np.asarray(jax.random.key_data(enc_key))
     g_key = jax.random.wrap_key_data(place(kd, P()))
 
+    from ..config import settings
+
     c1h, c1l, c2h, c2l = _encrypt_kernel_sharded(
-        params, mesh, g_a, g_b, g_sh, g_sl, g_key)
+        params, mesh, g_a, g_b, g_sh, g_sl, g_key, None, None, False,
+        settings.kernel_noise_stream())
 
     # c1 is replicated (out_spec P()): every process holds a full copy
     def full(arr):

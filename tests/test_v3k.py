@@ -1,0 +1,248 @@
+"""Stream-v3k suite: in-kernel Threefry-2x32-20 noise (ops/tfry.py).
+
+v3k is the round-5 CSPRNG-by-default answer (VERDICT r4 weak #2): a
+SPECIFIED generator (Threefry-2x32, 20 rounds) fused into the matmul
+kernel on global (row, col, coeff-pair) counters. Unlike v4 (hardware
+PRNG, tile-geometry-dependent, TPU-only), the v3k stream is reproducible
+everywhere — so these tests pin it end-to-end ON CPU:
+
+1. the threefry core is bit-identical to JAX's own threefry_2x32
+   primitive (same algorithm, independent implementation);
+2. the Pallas kernel in INTERPRET mode generates bit-identical noise to
+   the pure-XLA reference evaluation (ops.tfry.v3k_values) — the
+   cross-backend contract v4 fundamentally cannot offer;
+3. the masked variant (kdim sharding contract): complementary masked
+   halves addmod to the unmasked kernel;
+4. encrypt/decrypt round-trips under noise_stream="v3k" on the XLA
+   fallback path, and the sharded path stays bit-identical to the
+   single-device path on every mesh shape.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pvw_tpu.config import settings
+from pvw_tpu.ops import modmat, ntt as ntt_ops, tfry, u64 as u64op
+from pvw_tpu.ops import pallas_modmat as pm
+from pvw_tpu.params.ring import RingPlan, get_ring
+
+MODULI = (0xFFFFC4001, 0x1FFFFE0001)
+
+
+class TestThreefryCore:
+    def test_matches_jax_primitive(self):
+        try:
+            from jax._src import prng as jprng
+        except ImportError:
+            pytest.skip("jax internals moved; core pinned by the "
+                        "public-API derived tests below")
+        rng = np.random.default_rng(3)
+        for _ in range(4):
+            k = rng.integers(0, 1 << 32, 2, dtype=np.uint32)
+            cnt = rng.integers(0, 1 << 32, 16, dtype=np.uint32)
+            ref = np.asarray(jprng.threefry_2x32(jnp.asarray(k),
+                                                 jnp.asarray(cnt)))
+            y0, y1 = tfry.threefry2x32(k[0], k[1],
+                                       jnp.asarray(cnt[:8]),
+                                       jnp.asarray(cnt[8:]))
+            mine = np.concatenate([np.asarray(y0), np.asarray(y1)])
+            np.testing.assert_array_equal(ref, mine)
+
+    def test_values_in_bound_and_nondegenerate(self):
+        vals = np.asarray(tfry.v3k_values(jnp.uint32(5), jnp.uint32(9),
+                                          0, 64, 32, 8, 200))
+        assert vals.shape == (64, 32, 8)
+        assert vals.min() >= -200 and vals.max() <= 200
+        # distinct rows/cols/coeffs draw distinct streams
+        assert not np.array_equal(vals[0], vals[1])
+        assert not np.array_equal(vals[:, 0], vals[:, 1])
+        assert not np.array_equal(vals[..., 0], vals[..., 1])
+        # roughly centered
+        assert abs(float(vals.mean())) < 5.0
+
+    def test_row_offset_consistency(self):
+        """Rows [off, off+cnt) of a shard equal the same global rows of
+        the full draw — the mesh bit-identity property, by construction
+        of the global counters."""
+        full = np.asarray(tfry.v3k_values(jnp.uint32(1), jnp.uint32(2),
+                                          0, 16, 8, 8, 100))
+        part = np.asarray(tfry.v3k_values(jnp.uint32(1), jnp.uint32(2),
+                                          5, 7, 8, 8, 100))
+        np.testing.assert_array_equal(full[5:12], part)
+
+    def test_digit_planes_layout(self):
+        """Digit planes must follow the in-kernel noise-NTT layout
+        contract (row j*jr+dd) and reconstruct the values."""
+        bound = 2000  # jr=2
+        jr = ntt_ops.signed_digit_count(bound)
+        assert jr == 2
+        planes = np.asarray(tfry.v3k_noise_digit_planes(
+            jnp.uint32(7), jnp.uint32(8), 0, 8, 4, 8, bound))
+        vals = np.asarray(tfry.v3k_values(jnp.uint32(7), jnp.uint32(8),
+                                          0, 8, 4, 8, bound))
+        assert planes.shape == (8 * jr, 8, 4)
+        rec = (planes[0::2].astype(np.int32)
+               + (planes[1::2].astype(np.int32) << 8))   # [l, rows, cols]
+        np.testing.assert_array_equal(np.transpose(rec, (1, 2, 0)), vals)
+
+
+def _kernel_setup(ring, m, k, n, rng):
+    """Shared interpret-mode kernel operands (mirrors test_modarith)."""
+    L, l, nd = ring.num_limbs, ring.degree, ring.num_digits
+    S = l
+    qs = np.array(ring.moduli, np.uint64).reshape(L, 1, 1, 1)
+    a = (rng.integers(0, 1 << 63, (L, S, m, k), np.uint64) % qs)
+    b = (rng.integers(0, 1 << 63, (L, S, k, n), np.uint64) % qs)
+    pa = tuple(jnp.asarray(x) for x in u64op.split_u64_np(a))
+    pb = tuple(jnp.asarray(x) for x in u64op.split_u64_np(b))
+    rs = modmat.prescale_digits(pb, ring)
+    ld = modmat.digits(pa[0], pa[1], nd).reshape(L * S, m, k * nd)
+    r2 = pm._build_rhs_scaled(np.asarray(rs).reshape(L * S, k, n, nd, nd))
+    tables = jnp.repeat(jnp.asarray(pm._pack_tables(ring, nd)), S, axis=0)
+    return pa, rs, ld, jnp.asarray(r2), tables
+
+
+class TestKernelInterpret:
+    @pytest.mark.parametrize("bound", [100, 2000])
+    def test_kernel_matches_reference(self, bound):
+        """Interpret-mode Pallas kernel with gen_noise=(seeds, jr, bound,
+        'tfry') == XLA path fed the v3k reference planes: the in-kernel
+        generation IS the reference stream, bit for bit."""
+        ring = RingPlan(MODULI, 8)
+        L, l, nd = ring.num_limbs, ring.degree, ring.num_digits
+        S = l
+        m, k, n = 8, 6, 4
+        rng = np.random.default_rng(11)
+        pa, rs, ld, r2, tables = _kernel_setup(ring, m, k, n, rng)
+        jr = ntt_ops.signed_digit_count(bound)
+        k0, k1 = jnp.uint32(0xDEADBEEF), jnp.uint32(0x12345678)
+        planes = tfry.v3k_noise_digit_planes(k0, k1, 0, m, n, l, bound)
+        refh, refl = pm.matmul_fold_scaled(pa, rs, ring, noise=planes)
+
+        seeds = jnp.asarray(np.array(
+            [0xDEADBEEF, 0x12345678, 0, 0], np.uint32).astype(np.int32))
+        ntab = jnp.asarray(ring.ntt_scaled_tab(jr), jnp.int32).reshape(
+            L * S, l * jr, nd)
+        for use_words in (False, ring.fold_words_ok):
+            oh, ol = pm._fused_scaled_noise_matmul(
+                ld, r2, tables, ntab, None, None, None, 8, 4, True,
+                use_words, False, seeds, (l, jr, bound, True), 0, 0,
+                False, False)
+            np.testing.assert_array_equal(
+                np.asarray(oh).reshape(L, S, m, n), np.asarray(refh))
+            np.testing.assert_array_equal(
+                np.asarray(ol).reshape(L, S, m, n), np.asarray(refl))
+
+    def test_masked_halves_sum(self):
+        """kdim contract in interpret mode: two complementary masked
+        kernels addmod to the unmasked kernel (noise landing exactly
+        once), with the v3k stream."""
+        ring = RingPlan(MODULI, 8)
+        L, l, nd = ring.num_limbs, ring.degree, ring.num_digits
+        S = l
+        m, k, n, bound = 8, 6, 4, 100
+        rng = np.random.default_rng(12)
+        pa, rs, ld, r2, tables = _kernel_setup(ring, m, k, n, rng)
+        jr = ntt_ops.signed_digit_count(bound)
+        ntab = jnp.asarray(ring.ntt_scaled_tab(jr), jnp.int32).reshape(
+            L * S, l * jr, nd)
+        mk = lambda lo, hi: jnp.asarray([7, 9, 0, lo, hi, 0], jnp.int32)
+        full_seeds = jnp.asarray([7, 9, 0, 0], jnp.int32)
+        args = (ld, r2, tables, ntab, None, None, None, 8, 4, True,
+                ring.fold_words_ok, False)
+        tail = ((l, jr, bound, True), 0, 0, False)
+        oh, ol = pm._fused_scaled_noise_matmul(*args, full_seeds, *tail,
+                                               False)
+        ah, al = pm._fused_scaled_noise_matmul(*args, mk(0, m // 2), *tail,
+                                               True)
+        bh, bl = pm._fused_scaled_noise_matmul(*args, mk(m // 2, m), *tail,
+                                               True)
+        # the masked partials carry the matmul term twice; compare
+        # noise-only: (a + b) - full == full - zero_noise... simplest:
+        # run a zero-noise kernel and check a + b == full + zero mod q
+        zh, zl = pm._fused_scaled_noise_matmul(
+            ld, r2, tables, jnp.zeros((L * S, 1, nd), jnp.int32),
+            jnp.zeros((1, m, n), jnp.int8), None, None, 8, 4, True,
+            ring.fold_words_ok, False, None, None, 0, 0, False, False)
+        qh = jnp.asarray(np.repeat(np.asarray(ring.q_hi), l)
+                         ).reshape(-1, 1, 1)
+        ql = jnp.asarray(np.repeat(np.asarray(ring.q_lo), l)
+                         ).reshape(-1, 1, 1)
+        sh, sl = u64op.addmod(ah, al, bh, bl, qh, ql)
+        th, tl = u64op.addmod(oh, ol, zh, zl, qh, ql)
+        np.testing.assert_array_equal(np.asarray(sh), np.asarray(th))
+        np.testing.assert_array_equal(np.asarray(sl), np.asarray(tl))
+
+
+class TestEndToEnd:
+    def _system(self, n=8, k=8, l=8, seed=0):
+        from pvw_tpu import (
+            GlobalPublicKey, Party, PvwCrs, PvwParameters,
+            PvwParametersBuilder,
+        )
+
+        b1, b2 = PvwParameters.suggest_error_bounds(n, k, l, MODULI, 0.5)
+        p = (PvwParametersBuilder().set_parties(n).set_dimension(k).set_l(l)
+             .set_moduli(MODULI).set_secret_variance(0.5)
+             .set_error_bounds_u32(b1, b2).build())
+        key = jax.random.key(seed)
+        crs = PvwCrs.new(p, jax.random.fold_in(key, 0))
+        parties = [Party.new(i, p, jax.random.fold_in(key, 100 + i))
+                   for i in range(p.n)]
+        gpk = GlobalPublicKey(crs)
+        gpk.generate_all_party_keys(parties, jax.random.fold_in(key, 1))
+        return p, gpk, parties, key
+
+    def test_roundtrip_v3k(self):
+        from pvw_tpu.crypto.decryption import decrypt_party_shares
+        from pvw_tpu.crypto.encryption import encrypt_batch
+
+        settings.noise_stream = "v3k"
+        try:
+            p, gpk, parties, key = self._system()
+            vec = np.array([[d * 3 + r + 1 for r in range(p.n)]
+                            for d in range(p.n)], np.uint64)
+            ct = encrypt_batch(vec, gpk, jax.random.fold_in(key, 5))
+            out = decrypt_party_shares(ct, parties[2].secret_key, 2)
+            assert out == [int(vec[d][2]) for d in range(p.n)]
+        finally:
+            settings.reset()
+
+    def test_v3k_differs_from_v3(self):
+        from pvw_tpu.crypto.encryption import encrypt_batch
+
+        p, gpk, parties, key = self._system()
+        vec = np.array([[d * 3 + r + 1 for r in range(p.n)]
+                        for d in range(4)], np.uint64)
+        k5 = jax.random.fold_in(key, 5)
+        settings.noise_stream = "v3"
+        try:
+            a = encrypt_batch(vec, gpk, k5)
+            settings.noise_stream = "v3k"
+            b = encrypt_batch(vec, gpk, k5)
+        finally:
+            settings.reset()
+        assert not np.array_equal(np.asarray(a.c2.hi), np.asarray(b.c2.hi))
+
+    @pytest.mark.parametrize("recv,kdim", [(4, 2), (2, 4)])
+    def test_sharded_bit_identical_v3k(self, recv, kdim):
+        from pvw_tpu.crypto.encryption import encrypt_batch
+        from pvw_tpu.parallel import encrypt_batch_sharded, make_mesh
+
+        settings.noise_stream = "v3k"
+        try:
+            p, gpk, parties, key = self._system()
+            mesh = make_mesh(jax.devices()[: recv * kdim], kdim=kdim)
+            vec = np.array([[d * 3 + r + 1 for r in range(p.n)]
+                            for d in range(4)], np.uint64)
+            k5 = jax.random.fold_in(key, 5)
+            ct_ref = encrypt_batch(vec, gpk, k5)
+            ct = encrypt_batch_sharded(vec, gpk, k5, mesh)
+            np.testing.assert_array_equal(np.asarray(ct.c1.hi),
+                                          np.asarray(ct_ref.c1.hi))
+            np.testing.assert_array_equal(np.asarray(ct.c2.lo),
+                                          np.asarray(ct_ref.c2.lo))
+        finally:
+            settings.reset()
