@@ -111,6 +111,7 @@ def main() -> None:
         BATCH = PRESET_BATCH.get(args.preset, 1024)
 
     import jax
+    import jax.numpy as jnp
 
     from pvw_tpu import (
         GlobalPublicKey, PvwCrs, PvwParameters, PvwParametersBuilder,
@@ -202,6 +203,14 @@ def main() -> None:
         )
     key = jax.random.key(0)
 
+    # Tunnel ping: one trivial dispatch+fetch round trip, so a degraded
+    # tunnel phase is identifiable in the log before any stage is timed
+    # (the r4 15.4 s keygen number was unattributable — VERDICT r4 #6).
+    t0 = time.time()
+    _ = float(jnp.float32(1.0) + jnp.float32(1.0))
+    ping_ms = (time.time() - t0) * 1000
+    log(f"tunnel ping (scalar add + fetch): {ping_ms:.1f} ms")
+
     t0 = time.time()
     with span("crs_generation", k=K_DIM):
         crs = PvwCrs.new(params, jax.random.fold_in(key, 0))
@@ -220,7 +229,14 @@ def main() -> None:
     )
     gpk = GlobalPublicKey(crs)
     gpk.generate_all_keys_device(coeffs, jax.random.fold_in(key, 1))
-    log(f"keygen for {N_RECEIVERS} parties in {time.time() - t0:.2f}s")
+    # jit compiles synchronously inside the first call, so the dispatch
+    # time ~= trace + compile (+ tunnel compile RPC); the drain fetch
+    # below ~= actual device execution of the queued CRS+keygen work —
+    # the same split the encryption warmup gets (VERDICT r4 #6: the r4
+    # 15.4 s keygen wall time was unattributed)
+    keygen_dispatch_s = time.time() - t0
+    log(f"keygen for {N_RECEIVERS} parties: dispatch (trace+compile) "
+        f"{keygen_dispatch_s:.2f}s")
 
     # Drain the CRS+keygen queue NOW with a scalar fetch so the warmup
     # split below attributes time honestly (compile vs execute), instead
@@ -228,19 +244,27 @@ def main() -> None:
     t0 = time.time()
     bd0 = gpk.encrypt_operands()[1]
     _ = np.asarray(bd0[(0,) * bd0.ndim])
-    log(f"keygen queue drain (scalar fetch) in {time.time() - t0:.2f}s")
+    keygen_drain_s = time.time() - t0
+    log(f"keygen queue drain (device execute, scalar fetch) in "
+        f"{keygen_drain_s:.2f}s")
 
     rng = np.random.default_rng(0)
     scalars = rng.integers(0, 1 << 32, size=(BATCH, N_RECEIVERS), dtype=np.uint64)
     sc_hi, sc_lo = _scalars_to_pairs(scalars)
     a_dig, b_dig = gpk.encrypt_operands()
 
+    from pvw_tpu.config import settings
+
+    stream = settings.kernel_noise_stream()
+
     def run(i):
         # scalars are < 2^32, matching encrypt_batch's auto-detection of
-        # the 32-bit encode fast path
+        # the 32-bit encode fast path; the noise stream is a static arg
+        # (round 5) read from settings so PVW_TPU_NOISE still applies
         return _encrypt_kernel(
             params, a_dig, b_dig,
             sc_hi, sc_lo, jax.random.fold_in(key, 777 + i), True,
+            None, None, stream,
         )
 
     t0 = time.time()
@@ -287,6 +311,9 @@ def main() -> None:
         "vs_baseline": round(enc_per_s / baseline, 3),
         "v4_golden": v4_golden,
         "sharded_golden": sharded_golden,
+        "keygen_dispatch_s": round(keygen_dispatch_s, 2),
+        "keygen_drain_s": round(keygen_drain_s, 2),
+        "tunnel_ping_ms": round(ping_ms, 1),
     }))
 
 

@@ -79,6 +79,13 @@ swapped_form         PVW_TPU_SWAPPED       EXPERIMENTAL: swapped-operand
                                            SLOWER than the banded default at
                                            the headline shape (r4); kept as an
                                            opt-in measured branch (False).
+pipeline_fold        PVW_TPU_PIPELINE      EXPERIMENTAL: software-pipelined
+                                           kernel — fold of channel c-1 under
+                                           the MXU dots of channel c via a
+                                           parity-alternating column scratch
+                                           (DESIGN.md §9 overlap lever,
+                                           round 5). Bit-identical; routing
+                                           per the measured A/B (False).
 trace                PVW_TPU_TRACE         Enable span tracing to stderr
                                            (False).
 jax_cache_dir        PVW_TPU_JAX_CACHE     Persistent JAX compilation cache
@@ -156,6 +163,7 @@ class Settings:
     noise_value_mac: bool = _Knob("PVW_TPU_NOISE_VALS", True, _parse_bool)
     fused_prescale: str = _Knob("PVW_TPU_FUSED_PRESCALE", "auto")
     swapped_form: bool = _Knob("PVW_TPU_SWAPPED", False, _parse_bool)
+    pipeline_fold: bool = _Knob("PVW_TPU_PIPELINE", False, _parse_bool)
     trace: bool = _Knob("PVW_TPU_TRACE", False, _parse_bool)
     jax_cache_dir: Optional[str] = _Knob("PVW_TPU_JAX_CACHE", None)
 
@@ -197,8 +205,10 @@ class Settings:
         :func:`~pvw_tpu.ops.pallas_modmat.ntt_prescale_available`).
         ``auto``: deep chains only — the kernel measured 0.78-0.89x the
         XLA pipeline at nd=8 (all three 61-bit-limb presets) but
-        1.18-1.26x at nd=5 (headline family); nd=6-7 routing is pinned
-        by measurement in BASELINE.md (round-5 r-stage probes).
+        1.18-1.26x at nd=5 (headline family), 1.15-1.19x at nd=6 and
+        1.17-1.22x at nd=7 (round-5 probes,
+        benchmarks/probe_rstage_mid.py, k=256/512) — the nd >= 8
+        boundary is measured at every digit width, not extrapolated.
 
         The mode is normalized: booleans and the standard truthy/falsy
         strings all force the choice; unknown strings warn once and fall

@@ -722,6 +722,305 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
     return oh, ol
 
 
+def _make_pipelined_body(CH: int, use_words: bool, has_encode: bool,
+                         encode32: bool, gen_noise: tuple | None,
+                         noise_vals: int, in_jr: int, C: int):
+    """Software-PIPELINED kernel body (round 5, VERDICT r4 #3): the grid
+    runs CH+1 channel steps per (i, j) tile; step c issues the MXU dots
+    for channel c into a parity-alternating VMEM column scratch and folds
+    channel c-1's columns from the other parity — two independent
+    instruction DAGs per step, so the scheduler CAN overlap the ~3.3 ms
+    VPU epilogue under the MXU (the fused body serializes them by data
+    dependence; DESIGN.md §9 names this the last lever). Bit-identical
+    to :func:`_make_fold_body`'s arithmetic — same columns, same fold,
+    same noise MAC and encode, just one grid step later.
+
+    Supported subset (the production headline path): banded rhs,
+    gen_noise (v4/v3k) or input noise planes, encode32/encode64, word or
+    grouped fold. NOT supported: swapped, post, masked, dots_first —
+    callers route those through the fused body.
+
+    Ref order: tables [CH, 36] u32 SMEM; (enc_tab [1,1,8] SMEM idx c-1);
+    ntab [1, ljr|l, C] SMEM idx c-1; (seeds SMEM); lhs [1, TM, kd] idx
+    min(c, CH-1); band [1, C, kd, TN] idx min(c, CH-1); (noise planes
+    idx (i, j)); (sc tiles idx (i, j)); outs idx c-1 (clamped); scratch:
+    col_scr int32 [2, C, TM, TN] (+ noise scratch as in the fused body).
+    """
+
+    def body(tables_ref, *refs):
+        refs = list(refs)
+        enc_tab_ref = refs.pop(0) if has_encode else None
+        ntab_ref = refs.pop(0)
+        seed_ref = refs.pop(0) if gen_noise else None
+        lhs_ref = refs.pop(0)
+        band_ref = refs.pop(0)
+        noise_ref = refs.pop(0) if gen_noise is None else None
+        if has_encode:
+            if encode32:
+                sc_lo_ref = refs.pop(0)
+            else:
+                sc_hi_ref, sc_lo_ref = refs.pop(0), refs.pop(0)
+        if gen_noise is not None or (noise_vals and in_jr):
+            out_hi_ref, out_lo_ref, col_scr, noise_scr = refs
+        else:
+            out_hi_ref, out_lo_ref, col_scr = refs
+        tm = lhs_ref.shape[1]
+        n = out_hi_ref.shape[2]
+        cg = pl.program_id(2)                  # 0..CH (CH+1 steps)
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        if gen_noise is not None:
+            ldeg, jr, bound = gen_noise[:3]
+            tfry = len(gen_noise) > 3 and bool(gen_noise[3])
+            rng32 = np.uint32(2 * bound + 1)
+
+            def _store(jj, sv):
+                if noise_vals:
+                    noise_scr[jj] = sv
+                elif jr == 1:
+                    noise_scr[jj] = sv.astype(jnp.int8)
+                else:
+                    d0, d1 = v4_digit_split(sv)
+                    noise_scr[2 * jj] = d0.astype(jnp.int8)
+                    noise_scr[2 * jj + 1] = d1.astype(jnp.int8)
+
+            @pl.when(cg == 0)
+            def _generate():
+                row0 = seed_ref[2] + i * tm
+                if tfry:
+                    from .tfry import threefry2x32
+
+                    k0 = seed_ref[0].astype(u.U32)
+                    k1 = seed_ref[1].astype(u.U32)
+                    rows_g = (row0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (tm, n), 0)).astype(u.U32)
+                    cols_g = (j * n + jax.lax.broadcasted_iota(
+                        jnp.int32, (tm, n), 1)).astype(u.U32)
+                    base = cols_g * np.uint32(ldeg // 2)
+                    for jjp in range(ldeg // 2):
+                        ws = []
+                        for t3 in range(3):
+                            x1c = ((base + np.uint32(jjp)) << 2) \
+                                | np.uint32(t3)
+                            ws.append(threefry2x32(k0, k1, rows_g, x1c))
+                        v_e = v4_reduce96(ws[0][0], ws[1][0], ws[2][0],
+                                          rng32)
+                        v_o = v4_reduce96(ws[0][1], ws[1][1], ws[2][1],
+                                          rng32)
+                        _store(2 * jjp, v_e.astype(jnp.int32) - bound)
+                        _store(2 * jjp + 1, v_o.astype(jnp.int32) - bound)
+                else:
+                    mix = v4_blockmix(row0, j * n)
+                    pltpu.prng_seed(seed_ref[0] ^ mix, seed_ref[1])
+                    for jj in range(ldeg):
+                        bits = pltpu.bitcast(
+                            pltpu.prng_random_bits((3, tm, n)), u.U32)
+                        v = v4_reduce96(bits[0], bits[1], bits[2], rng32)
+                        _store(jj, v.astype(jnp.int32) - bound)
+            nsrc = noise_scr
+        elif noise_vals and in_jr:
+            @pl.when(cg == 0)
+            def _compose():
+                for jj in range(noise_vals):
+                    if in_jr == 1:
+                        noise_scr[jj] = noise_ref[jj].astype(jnp.int32)
+                    else:
+                        noise_scr[jj] = (
+                            noise_ref[2 * jj].astype(jnp.int32)
+                            + (noise_ref[2 * jj + 1].astype(jnp.int32) << 8))
+            nsrc = noise_scr
+        else:
+            nsrc = noise_ref
+
+        par = jax.lax.rem(cg, 2)
+
+        # -- dots stage: channel cg (skipped at the drain step cg == CH) --
+        @pl.when(cg < CH)
+        def _dots():
+            lhs = lhs_ref[0]
+            for c in range(C):
+                col_scr[par, c] = jax.lax.dot_general(
+                    lhs, band_ref[0, c],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+
+        # -- fold stage: channel cg - 1 from the other parity ------------
+        @pl.when(cg > 0)
+        def _fold():
+            chf = cg - 1                        # channel being folded
+            t = tables_ref
+            qh, ql = t[chf, 18], t[chf, 19]
+            ng = (C + 3) // 4
+            opar = 1 - par
+            acc_h = jnp.zeros((tm, n), u.U32)
+            acc_l = jnp.zeros((tm, n), u.U32)
+            gh_acc = jnp.zeros((tm, n), u.U32)
+            gl_acc = jnp.zeros((tm, n), u.U32)
+            prev_gh = None
+            carry = None
+            for c in range(C):
+                g, r = divmod(c, 4)
+                p_c = col_scr[opar, c]
+                if nsrc is not None:
+                    if noise_vals:
+                        for rr in range(noise_vals):
+                            p_c = p_c + nsrc[rr] * ntab_ref[0, rr, c]
+                    else:
+                        for rr in range(nsrc.shape[0]):
+                            p_c = p_c + (nsrc[rr].astype(jnp.int32)
+                                         * ntab_ref[0, rr, c])
+                uc = (p_c + jnp.int32(-0x80000000)).astype(u.U32)
+                if r == 0:
+                    th, tl = jnp.zeros_like(uc), uc
+                else:
+                    th, tl = uc >> (32 - 8 * r), uc << (8 * r)
+                gh_acc, gl_acc = u.add64(gh_acc, gl_acc, th, tl)
+                if r == 3 or c == C - 1:
+                    if not use_words:
+                        sh, sl = u.shoup_mul64_arr(
+                            gh_acc, gl_acc, t[chf, 0 + g], t[chf, 4 + g],
+                            t[chf, 8 + g], t[chf, 12 + g], qh, ql)
+                        acc_h, acc_l = u.addmod(acc_h, acc_l, sh, sl,
+                                                qh, ql)
+                    elif g == 0:
+                        acc_h, acc_l = jnp.zeros((tm, n), u.U32), gl_acc
+                        prev_gh = gh_acc
+                    else:
+                        s1 = prev_gh + gl_acc
+                        c1 = (s1 < prev_gh).astype(u.U32)
+                        if carry is not None:
+                            s2 = s1 + carry
+                            c1 = c1 + (s2 < s1).astype(u.U32)
+                            s1 = s2
+                        carry = c1
+                        sh, sl = u.shoup_mul32_arr(
+                            s1, t[chf, 24 + g - 1], t[chf, 28 + g - 1],
+                            t[chf, 32 + g - 1], qh, ql)
+                        acc_h, acc_l = u.addmod(acc_h, acc_l, sh, sl,
+                                                qh, ql)
+                        prev_gh = gh_acc
+                    gh_acc = jnp.zeros((tm, n), u.U32)
+                    gl_acc = jnp.zeros((tm, n), u.U32)
+            if use_words:
+                if C % 4 == 1 and carry is not None and ng >= 2:
+                    th = jnp.where(carry > 0,
+                                   t[chf, 24 + ng - 1], 0).astype(u.U32)
+                    tl = jnp.where(carry > 0,
+                                   t[chf, 28 + ng - 1], 0).astype(u.U32)
+                    acc_h, acc_l = u.addmod(acc_h, acc_l, th, tl, qh, ql)
+                else:
+                    s1 = prev_gh if carry is None else prev_gh + carry
+                    sh, sl = u.shoup_mul32_arr(
+                        s1, t[chf, 24 + ng - 1], t[chf, 28 + ng - 1],
+                        t[chf, 32 + ng - 1], qh, ql)
+                    acc_h, acc_l = u.addmod(acc_h, acc_l, sh, sl, qh, ql)
+            oh, ol = u.submod(acc_h, acc_l, t[chf, 16], t[chf, 17], qh, ql)
+            if has_encode:
+                et = enc_tab_ref
+                if encode32:
+                    eh, el = u.shoup_mul32_arr(
+                        sc_lo_ref[...], et[0, 0, 0], et[0, 0, 1],
+                        et[0, 0, 6], qh, ql)
+                else:
+                    sch, scl = sc_hi_ref[...], sc_lo_ref[...]
+                    eh, el = u.shoup_mul64_arr(
+                        sch, scl, et[0, 0, 0], et[0, 0, 1], et[0, 0, 2],
+                        et[0, 0, 3], qh, ql)
+                    wh, wl = u.submod(eh, el, et[0, 0, 4], et[0, 0, 5],
+                                      qh, ql)
+                    neg = sch >= jnp.uint32(1 << 31)
+                    eh = jnp.where(neg, wh, eh)
+                    el = jnp.where(neg, wl, el)
+                oh, ol = u.addmod(oh, ol, eh, el, qh, ql)
+            out_hi_ref[0] = oh
+            out_lo_ref[0] = ol
+
+    return body
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 12, 13, 14))
+def _fused_pipelined_matmul(lhs_dig, band, tables, ntab, noise, encode,
+                            tile_m: int, tile_n: int, interpret: bool,
+                            use_words: bool = False,
+                            encode32: bool = False, seeds=None,
+                            gen_noise: tuple | None = None,
+                            noise_vals: int = 0, in_jr: int = 0):
+    """Pipelined twin of :func:`_fused_scaled_noise_matmul` (see
+    :func:`_make_pipelined_body`): grid (m-tiles, n-tiles, CH+1), output
+    block index lagging the channel step by one. Same operands minus the
+    unsupported post/swapped/masked options."""
+    ch, m, kd = lhs_dig.shape
+    n = band.shape[3]
+    C = band.shape[1]
+    ljr = ntab.shape[1]
+    has_encode = encode is not None
+    grid = (m // tile_m, n // tile_n, ch + 1)
+    chf = lambda c: jnp.maximum(c - 1, 0)
+    chd = lambda c: jnp.minimum(c, ch - 1)
+    out_spec = pl.BlockSpec((1, tile_m, tile_n),
+                            lambda i, j, c: (chf(c), i, j),
+                            memory_space=pltpu.VMEM)
+    sc_spec = lambda: pl.BlockSpec((tile_m, tile_n),
+                                   lambda i, j, c: (i, j),
+                                   memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    operands = [tables]
+    if has_encode:
+        in_specs.append(pl.BlockSpec((1, 1, 8),
+                                     lambda i, j, c: (chf(c), 0, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(encode[2].reshape(ch, 1, 8))
+    in_specs.append(pl.BlockSpec((1, ljr, C),
+                                 lambda i, j, c: (chf(c), 0, 0),
+                                 memory_space=pltpu.SMEM))
+    operands.append(ntab)
+    if gen_noise is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(seeds)
+    in_specs += [
+        pl.BlockSpec((1, tile_m, kd), lambda i, j, c: (chd(c), i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C, kd, tile_n), lambda i, j, c: (chd(c), 0, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands += [lhs_dig, band]
+    if gen_noise is None:
+        in_specs.append(pl.BlockSpec((noise.shape[0], tile_m, tile_n),
+                                     lambda i, j, c: (0, i, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(noise)
+    if has_encode:
+        if encode32:
+            in_specs += [sc_spec()]
+            operands += [encode[1]]
+        else:
+            in_specs += [sc_spec(), sc_spec()]
+            operands += [encode[0], encode[1]]
+    out_shape = [
+        jax.ShapeDtypeStruct((ch, m, n), jnp.uint32),
+        jax.ShapeDtypeStruct((ch, m, n), jnp.uint32),
+    ]
+    scratch = [pltpu.VMEM((2, C, tile_m, tile_n), jnp.int32)]
+    if noise_vals:
+        scratch.append(pltpu.VMEM((noise_vals, tile_m, tile_n), jnp.int32))
+    elif gen_noise is not None:
+        scratch.append(pltpu.VMEM((gen_noise[0] * gen_noise[1],
+                                   tile_m, tile_n), jnp.int8))
+    oh, ol = pl.pallas_call(
+        _make_pipelined_body(ch, use_words, has_encode, encode32,
+                             gen_noise, noise_vals, in_jr, C),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[out_spec, out_spec],
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*operands)
+    return oh, ol
+
+
 def _noise_cols_xla(noise, ring: "RingPlan"):
     """XLA fallback of the in-kernel noise NTT: int8 noise digits
     [ljr, m, n] -> int32 scaled-digit columns [L, S, m, n, nd]."""
@@ -1028,6 +1327,18 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
     # _make_fold_body ``masked``): the kdim-split mesh shards use it to
     # apply noise/encode to exactly their row block of the partial sum
     masked = seeds is not None and seeds.shape[0] >= 6
+    if (settings.pipeline_fold and not swapped and not masked
+            and not dots_first and post is None):
+        # software-pipelined variant (round 5, DESIGN.md §9 overlap
+        # lever): fold of channel c-1 under the dots of channel c.
+        # Bit-identical (tests/test_pipeline.py); opt-in pending the
+        # measured A/B.
+        oh, ol = _fused_pipelined_matmul(
+            ld, r2, tables, ntab, noise, encode, tile_m, tile_n, False,
+            ring.fold_words_ok, encode32, seeds, gen_static, n_vals,
+            in_jr,
+        )
+        return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)
     oh, ol = _fused_scaled_noise_matmul(
         ld, r2, tables, ntab, noise, post_ch, encode, tile_m, tile_n, False,
         ring.fold_words_ok, encode32, seeds, gen_static, n_vals, in_jr,
