@@ -1327,7 +1327,7 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
     # _make_fold_body ``masked``): the kdim-split mesh shards use it to
     # apply noise/encode to exactly their row block of the partial sum
     masked = seeds is not None and seeds.shape[0] >= 6
-    if (settings.pipeline_fold and not swapped and not masked
+    if (settings.pipeline_fold and not masked
             and not dots_first and post is None):
         # software-pipelined variant (round 5, DESIGN.md §9 overlap
         # lever): fold of channel c-1 under the dots of channel c.
