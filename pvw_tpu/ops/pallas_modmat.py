@@ -1662,6 +1662,12 @@ def swapped_available(ring: "RingPlan", m: int, n: int, k: int,
     if not jr:
         return False
     nd = ring.num_digits
+    # round-5 hardware bound: at deep chains the real Mosaic stack
+    # exceeds the model at wide batches — broadcast_128bit (nd=8) failed
+    # compile at n=512 while n=256 ran (BASELINE.md config-2 attack);
+    # cap the swapped opt-in to the validated batch range there
+    if nd >= 8 and n > 256:
+        return False
     extra = _gen_noise_extra(ring.degree * jr, False, has_encode)
     tiles = _pick_tiles_swapped(m, n, k * nd, nd, extra)
     if tiles is None:
