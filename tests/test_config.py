@@ -65,8 +65,8 @@ def test_describe_lists_every_knob():
     assert set(d) == {
         "noise_stream", "decode_mode", "decode_crossover", "no_native",
         "num_digits", "tile_m", "tile_n", "no_pallas", "dots_first",
-        "noise_value_mac", "fused_prescale", "swapped_form", "trace",
-        "jax_cache_dir",
+        "noise_value_mac", "fused_prescale", "swapped_form",
+        "pipeline_fold", "trace", "jax_cache_dir",
     }
 
 

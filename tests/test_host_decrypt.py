@@ -6,6 +6,8 @@ bit-identical to the device stage + Python decode oracle on ARBITRARY
 residues, not just well-formed ciphertexts (``decryption.rs:249-278``).
 """
 
+import os
+
 import numpy as np
 import jax
 import pytest
