@@ -215,6 +215,69 @@ def run_kdim_emulation(config):
         settings.tile_m, settings.tile_n = prev
 
 
+def run_limb_grid_legs(config):
+    """Limb-parallel and 3-axis GRID paths on silicon: every shard
+    program placed on the one real chip (duplicate-device placement —
+    limb-parallel is per-device jit programs, the grid's sub-meshes are
+    (1,1) each), so the limb-restriction machinery
+    (PvwParameters.restrict_limbs, per-shard kernels, gathered-residue
+    decode) compiles and executes on TPU for the first time. v4-stream
+    note: the per-tile PRNG draws depend only on (key, tile geometry),
+    and the limb-restricted kernels keep the same (m, n, kd, C) tile
+    shapes as the full-ring kernel, so the gathered ciphertext is
+    expected — and here asserted — bit-identical to single-device."""
+    from pvw_tpu.config import settings
+    from pvw_tpu.crypto.encryption import encrypt_batch
+    from pvw_tpu.parallel import (
+        decrypt_party_shares_grid, decrypt_party_shares_limb_parallel,
+        encrypt_batch_grid, encrypt_batch_limb_parallel,
+    )
+
+    params, gpk, parties, root = _build_system(config)
+    d = config["d"]
+    rng = np.random.default_rng(config["seed"] + 2)
+    scalars = rng.integers(0, 1 << 20, (d, params.n), dtype=np.uint64)
+    key = jax.random.fold_in(root, 4)
+    dev = jax.devices()[0]
+
+    prev = (settings.tile_m, settings.tile_n)
+    settings.tile_m = int(config["tile_m"])
+    settings.tile_n = int(config["tile_n"])
+    try:
+        ct_ref = encrypt_batch(scalars, gpk, key)
+        ref = _ct_pairs(ct_ref)
+
+        ct_lp = encrypt_batch_limb_parallel(scalars, gpk, key, [dev, dev])
+        g = ct_lp.gather()
+        got = [np.asarray(g.c1.hi), np.asarray(g.c1.lo),
+               np.asarray(g.c2.hi), np.asarray(g.c2.lo)]
+        ok5 = all(np.array_equal(a, b) for a, b in zip(ref, got))
+        print("leg5 limb-parallel on silicon bit-identical:", ok5,
+              flush=True)
+        assert ok5
+        vals = decrypt_party_shares_limb_parallel(
+            ct_lp, parties[2].secret_key, 2)
+        ok5d = np.array_equal(np.asarray(vals, np.uint64), scalars[:, 2])
+        print("leg5 limb-parallel decrypt recovers scalars:", ok5d,
+              flush=True)
+        assert ok5d
+
+        ct_g = encrypt_batch_grid(scalars, gpk, key, [dev, dev],
+                                  limb_groups=2, kdim=1)
+        gg = ct_g.gather()
+        gotg = [np.asarray(gg.c1.hi), np.asarray(gg.c1.lo),
+                np.asarray(gg.c2.hi), np.asarray(gg.c2.lo)]
+        ok6 = all(np.array_equal(a, b) for a, b in zip(ref, gotg))
+        print("leg6 3-axis GRID on silicon bit-identical:", ok6, flush=True)
+        assert ok6
+        valsg = decrypt_party_shares_grid(ct_g, parties[5].secret_key, 5)
+        ok6d = np.array_equal(np.asarray(valsg, np.uint64), scalars[:, 5])
+        print("leg6 GRID decrypt recovers scalars:", ok6d, flush=True)
+        assert ok6d
+    finally:
+        settings.tile_m, settings.tile_n = prev
+
+
 def emit_golden(path):
     import json
 
@@ -235,6 +298,7 @@ def main():
         return
     run_mesh_legs(GOLDEN_CONFIG)
     run_kdim_emulation(GOLDEN_CONFIG)
+    run_limb_grid_legs(GOLDEN_CONFIG)
     print("all sharded-TPU legs OK", flush=True)
 
 
