@@ -246,3 +246,66 @@ class TestEndToEnd:
                                           np.asarray(ct_ref.c2.lo))
         finally:
             settings.reset()
+
+    def test_limb_parallel_and_grid_bit_identical_v3k(self):
+        """The v3k stream is backend- and partition-independent: the
+        limb-parallel and grid backends must gather to the single-device
+        ciphertext bit-for-bit under noise_stream='v3k' too."""
+        from pvw_tpu.crypto.encryption import encrypt_batch
+        from pvw_tpu.parallel import (
+            encrypt_batch_grid, encrypt_batch_limb_parallel,
+        )
+
+        settings.noise_stream = "v3k"
+        try:
+            p, gpk, parties, key = self._system()
+            vec = np.array([[d * 3 + r + 1 for r in range(p.n)]
+                            for d in range(4)], np.uint64)
+            k5 = jax.random.fold_in(key, 5)
+            ct_ref = encrypt_batch(vec, gpk, k5)
+            devs = jax.devices()[: p.ring.num_limbs]
+            g = encrypt_batch_limb_parallel(vec, gpk, k5, devs).gather()
+            np.testing.assert_array_equal(np.asarray(g.c1.hi),
+                                          np.asarray(ct_ref.c1.hi))
+            np.testing.assert_array_equal(np.asarray(g.c2.lo),
+                                          np.asarray(ct_ref.c2.lo))
+            gg = encrypt_batch_grid(vec, gpk, k5, jax.devices()[:4],
+                                    limb_groups=2, kdim=1).gather()
+            np.testing.assert_array_equal(np.asarray(gg.c2.hi),
+                                          np.asarray(ct_ref.c2.hi))
+        finally:
+            settings.reset()
+
+    def test_huge_bounds_roundtrip_v3k(self):
+        """Bounds >= min(q_i) take the exact host stream regardless of
+        noise_stream (v3k covers only the signed-digit range — documented
+        scope); the round trip must still hold under the v3k setting."""
+        from pvw_tpu import (
+            GlobalPublicKey, Party, PvwCrs, PvwParameters,
+            PvwParametersBuilder,
+        )
+        from pvw_tpu.crypto.decryption import decrypt_party_shares
+        from pvw_tpu.crypto.encryption import encrypt_batch
+
+        n = k = 8
+        B = 1 << 40
+        p = (PvwParametersBuilder().set_parties(n).set_dimension(k)
+             .set_l(8).set_moduli(MODULI).set_secret_variance(0.5)
+             .set_error_bounds(B, B).build())
+        if not p.verify_correctness_condition():
+            pytest.skip("bounds too large for this toy chain")
+        key = jax.random.key(3)
+        crs = PvwCrs.new(p, jax.random.fold_in(key, 0))
+        parties = [Party.new(i, p, jax.random.fold_in(key, 100 + i))
+                   for i in range(n)]
+        gpk = GlobalPublicKey(crs)
+        gpk.generate_all_party_keys(parties, jax.random.fold_in(key, 1))
+        vec = np.array([[d + r + 1 for r in range(n)] for d in range(n)],
+                       np.uint64)
+        settings.noise_stream = "v3k"
+        try:
+            ct = encrypt_batch(vec, gpk, jax.random.fold_in(key, 5))
+            out = decrypt_party_shares(ct, parties[0].secret_key, 0)
+            assert out == [int(vec[d][0]) for d in range(n)]
+        finally:
+            settings.reset()
