@@ -299,7 +299,39 @@ def main():
     run_mesh_legs(GOLDEN_CONFIG)
     run_kdim_emulation(GOLDEN_CONFIG)
     run_limb_grid_legs(GOLDEN_CONFIG)
+    run_v3k_sharded_leg(GOLDEN_CONFIG)
     print("all sharded-TPU legs OK", flush=True)
+
+
+def run_v3k_sharded_leg(config):
+    """Leg 7: the sharded program under the v3k (in-kernel threefry)
+    stream on silicon — the opt-in CSPRNG path through shard_map must
+    match the single-device v3k kernel bit-for-bit (the stream is
+    tile- and mesh-independent by construction; this pins the
+    composition on hardware)."""
+    from pvw_tpu.config import settings
+    from pvw_tpu.crypto.encryption import encrypt_batch
+    from pvw_tpu.parallel.sharding import encrypt_batch_sharded, make_mesh
+
+    params, gpk, parties, root = _build_system(config)
+    d = config["d"]
+    rng = np.random.default_rng(config["seed"] + 3)
+    scalars = rng.integers(0, 1 << 20, (d, params.n), dtype=np.uint64)
+    key = jax.random.fold_in(root, 6)
+    mesh = make_mesh(jax.devices()[:1], kdim=1)
+    settings.noise_stream = "v3k"
+    settings.tile_m = int(config["tile_m"])
+    settings.tile_n = int(config["tile_n"])
+    try:
+        ct_ref = encrypt_batch(scalars, gpk, key)
+        ct_sh = encrypt_batch_sharded(scalars, gpk, key, mesh)
+        ok = all(np.array_equal(a, b) for a, b in
+                 zip(_ct_pairs(ct_ref), _ct_pairs(ct_sh)))
+        print("leg7 v3k sharded == v3k single-device on silicon:", ok,
+              flush=True)
+        assert ok
+    finally:
+        settings.reset()
 
 
 if __name__ == "__main__":
