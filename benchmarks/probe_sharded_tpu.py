@@ -20,7 +20,15 @@ exactly what runs first. This probe runs it on the one real chip:
    the encode mask) over k-column operand blocks; the two masked partial
    products must addmod to the whole-k kernel result — the kdim>1
    gather-sum contract, on silicon, at forced common tiles.
-5. ``--emit-golden``: commit the masked sharded-program ciphertext digest
+5. Limb-parallel on silicon: both limb-restricted per-shard programs
+   placed on the one chip, gathered ciphertext bit-identical to
+   single-device (the v4 per-tile streams depend only on (key, tile
+   geometry), preserved by limb restriction) and decrypting correctly.
+6. 3-axis GRID on silicon: 2 limb groups x (1,1) meshes, same
+   bit-identity + decrypt contract.
+7. The v3k (in-kernel threefry) stream through the sharded program —
+   bit-identical to the single-device v3k kernel on silicon.
+8. ``--emit-golden``: commit the masked sharded-program ciphertext digest
    as tests/data/sharded_masked_golden.json (re-checked by
    tests/test_sharding.py::test_sharded_masked_hw_golden on TPU and by
    every bench.py run).
