@@ -105,7 +105,7 @@ class PvwCiphertext:
 @partial(jax.jit, static_argnums=(0, 6, 9))
 def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
                     encode32: bool = False, host_e1=None, host_e2=None,
-                    stream: str | None = "v4"):
+                    stream: str | None = "v4", col_off=0):
     """d-batched PVW encryption.
 
     a_dig: CRS digit planes int8 [L, l, k, k*nd]; b_dig: global pk digit
@@ -139,8 +139,20 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
     # r: row-keyed CBD ("stream v2": row j from fold_in(k_r, j), so mesh
     # shards sample only their k-block; see sampling/uniform.py) ->
     # coefficients [k, d, l] -> NTT via the small-coefficient path (CBD
-    # values fit one signed digit)                       (encryption.rs:132-154)
-    r_coeffs = sample_vec_cbd_rows(k_r, 0, k, (d, l), params.secret_variance)
+    # values fit one signed digit).                      (encryption.rs:132-154)
+    # Under v3k, r comes from the global-counter CBD twin ("cbd-k",
+    # ops/tfry.py) so the WHOLE encryption — r and noise — is
+    # batch-shape/mesh/tile independent (the dealer data-parallel
+    # bit-identity contract, parallel/data_parallel.py).
+    if stream == "v3k":
+        from ..ops import tfry
+
+        rk0, rk1 = tfry.key_words(k_r)
+        r_coeffs = tfry.v3k_cbd_values(rk0, rk1, 0, k, d, l,
+                                       params.secret_variance, col_off)
+    else:
+        r_coeffs = sample_vec_cbd_rows(k_r, 0, k, (d, l),
+                                       params.secret_variance)
     r_bound = cbd_bound(params.secret_variance)
 
     # Structure, measured on v5e (benchmarks/ablate_encrypt.py + probes):
@@ -192,7 +204,11 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
             return None
         kd_words = jax.lax.bitcast_convert_type(
             jax.random.key_data(kk).reshape(2), jnp.int32)
-        seeds = jnp.concatenate([kd_words, jnp.zeros(2, jnp.int32)])
+        # last seed word = GLOBAL column offset (dealer-batch
+        # data-parallel sharding; 0 everywhere else)
+        seeds = jnp.concatenate([
+            kd_words, jnp.zeros(1, jnp.int32),
+            jnp.asarray(col_off, jnp.int32).reshape(1)])
         if stream == "v3k":
             return (seeds, jr, int(bound), "tfry")
         return (seeds, jr, int(bound))
@@ -209,7 +225,8 @@ def _encrypt_kernel(params: PvwParameters, a_dig, b_dig, sc_hi, sc_lo, key,
             if not signed_digit_count(bound):
                 return None
             k0, k1 = tfry.key_words(kk)
-            return tfry.v3k_noise_digit_planes(k0, k1, 0, rows, d, l, bound)
+            return tfry.v3k_noise_digit_planes(k0, k1, 0, rows, d, l,
+                                               bound, col_off)
         return ntt_ops.noise_digit_planes(kk, 0, rows, d, l, bound)
 
     def _noise_residues_ch(kk, rows, bound):

@@ -220,6 +220,11 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
             # kernel jaxpr's top level, not inside cond sub-jaxprs
             i = pl.program_id(0)
             j = pl.program_id(1)
+            # the final seed word is the GLOBAL column offset (round 5:
+            # the dealer-batch data-parallel backend — a shard encrypting
+            # dealer columns [c0, c0+dl) draws the same streams the full
+            # batch would at those columns); 0 for every other caller
+            col_off = seed_ref[5] if masked else seed_ref[3]
 
             @pl.when(pl.program_id(ch_axis) == 0)
             def _generate():
@@ -239,8 +244,9 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
                     k1 = seed_ref[1].astype(u.U32)
                     rows_g = (row0 + jax.lax.broadcasted_iota(
                         jnp.int32, (tm, n), 0)).astype(u.U32)
-                    cols_g = (j * n + jax.lax.broadcasted_iota(
-                        jnp.int32, (tm, n), 1)).astype(u.U32)
+                    cols_g = (col_off + j * n
+                              + jax.lax.broadcasted_iota(
+                                  jnp.int32, (tm, n), 1)).astype(u.U32)
                     base = cols_g * np.uint32(ldeg // 2)
                     for jjp in range(ldeg // 2):
                         ws = []
@@ -255,7 +261,7 @@ def _make_fold_body(ch_axis: int, has_noise: bool, has_post: bool,
                         _store(2 * jjp, v_e.astype(jnp.int32) - bound)
                         _store(2 * jjp + 1, v_o.astype(jnp.int32) - bound)
                 else:
-                    mix = v4_blockmix(row0, j * n)
+                    mix = v4_blockmix(row0, col_off + j * n)
                     pltpu.prng_seed(seed_ref[0] ^ mix, seed_ref[1])
                     for jj in range(ldeg):
                         bits = pltpu.bitcast(
@@ -774,6 +780,7 @@ def _make_pipelined_body(CH: int, use_words: bool, has_encode: bool,
             ldeg, jr, bound = gen_noise[:3]
             tfry = len(gen_noise) > 3 and bool(gen_noise[3])
             rng32 = np.uint32(2 * bound + 1)
+            col_off = seed_ref[3]        # global column offset (len-4 seeds)
 
             def _store(jj, sv):
                 if noise_vals:
@@ -795,8 +802,9 @@ def _make_pipelined_body(CH: int, use_words: bool, has_encode: bool,
                     k1 = seed_ref[1].astype(u.U32)
                     rows_g = (row0 + jax.lax.broadcasted_iota(
                         jnp.int32, (tm, n), 0)).astype(u.U32)
-                    cols_g = (j * n + jax.lax.broadcasted_iota(
-                        jnp.int32, (tm, n), 1)).astype(u.U32)
+                    cols_g = (col_off + j * n
+                              + jax.lax.broadcasted_iota(
+                                  jnp.int32, (tm, n), 1)).astype(u.U32)
                     base = cols_g * np.uint32(ldeg // 2)
                     for jjp in range(ldeg // 2):
                         ws = []
@@ -811,7 +819,7 @@ def _make_pipelined_body(CH: int, use_words: bool, has_encode: bool,
                         _store(2 * jjp, v_e.astype(jnp.int32) - bound)
                         _store(2 * jjp + 1, v_o.astype(jnp.int32) - bound)
                 else:
-                    mix = v4_blockmix(row0, j * n)
+                    mix = v4_blockmix(row0, col_off + j * n)
                     pltpu.prng_seed(seed_ref[0] ^ mix, seed_ref[1])
                     for jj in range(ldeg):
                         bits = pltpu.bitcast(

@@ -46,6 +46,7 @@ counter injective (checked by the callers' shapes).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import u64 as u
@@ -112,16 +113,21 @@ def v3k_pair_values(k0, k1, rows, cols, l: int, jjp: int, bound: int):
     return v_even.astype(jnp.int32) - b, v_odd.astype(jnp.int32) - b
 
 
-def v3k_values(k0, k1, row_off, rows: int, cols: int, l: int, bound: int):
+def v3k_values(k0, k1, row_off, rows: int, cols: int, l: int, bound: int,
+               col_off=0):
     """Reference (XLA) evaluation of the v3k stream: signed int32 noise
-    values [rows, cols, l] for global rows [row_off, row_off+rows). This
-    is the CPU-backend twin of the in-kernel generation — bit-identical
-    by construction (same counters, same threefry, same reduction)."""
+    values [rows, cols, l] for global rows [row_off, row_off+rows) and
+    global columns [col_off, col_off+cols). This is the CPU-backend twin
+    of the in-kernel generation — bit-identical by construction (same
+    counters, same threefry, same reduction). The global column index is
+    what makes v3k the one stream that can be split over the DEALER
+    (batch) axis bit-exactly (parallel/data_parallel.py)."""
     if l % 2:
         raise ValueError("v3k requires even ring degree")
     r = (jnp.asarray(row_off, jnp.uint32)
          + jnp.arange(rows, dtype=jnp.uint32))[:, None]
-    c = jnp.arange(cols, dtype=jnp.uint32)[None, :]
+    c = (jnp.asarray(col_off, jnp.uint32)
+         + jnp.arange(cols, dtype=jnp.uint32))[None, :]
     r = jnp.broadcast_to(r, (rows, cols))
     c = jnp.broadcast_to(c, (rows, cols))
     planes = []
@@ -132,7 +138,7 @@ def v3k_values(k0, k1, row_off, rows: int, cols: int, l: int, bound: int):
 
 
 def v3k_noise_digit_planes(k0, k1, row_off, rows: int, cols: int, l: int,
-                           bound: int):
+                           bound: int, col_off=0):
     """v3k noise as int8 signed digit planes [l*jr, rows, cols] — the
     in-kernel noise-NTT layout contract (row j*jr+dd for coefficient j,
     digit dd; matches :func:`pvw_tpu.ops.ntt.noise_digit_planes`).
@@ -142,9 +148,63 @@ def v3k_noise_digit_planes(k0, k1, row_off, rows: int, cols: int, l: int,
     jr = signed_digit_count(bound)
     if not jr:
         return None
-    vals = v3k_values(k0, k1, row_off, rows, cols, l, bound)
+    vals = v3k_values(k0, k1, row_off, rows, cols, l, bound, col_off)
     dig = _signed_digits(vals, jr)                     # [rows, cols, l, jr]
     return jnp.transpose(dig, (2, 3, 0, 1)).reshape(l * jr, rows, cols)
+
+
+def v3k_cbd_values(k0, k1, row_off, rows: int, cols: int, l: int,
+                   variance: float, col_off=0):
+    """Global-counter CBD ("cbd-k"): the r-randomness twin of the v3k
+    noise stream. One Threefry-2x32-20 evaluation per sample on counters
+    (x0 = global row, x1 = ((col*l + jj) << 2) | 3) — the t=3 slot the
+    noise counters never use, so the two streams share a key without
+    collisions. The two output words play the roles of
+    :func:`pvw_tpu.sampling.cbd.sample_vec_cbd`'s two drawn words
+    (bit-for-bit the same value construction: b1-b2 at variance 0.5, the
+    mask/popcount pool at integer variances), but the counters are
+    GLOBAL coordinates — so the r stream, like the v3k noise, is
+    independent of batch shape, mesh shape, and tile geometry, which is
+    what makes dealer-axis (data-parallel) splitting bit-exact.
+    Returns int32 [rows, cols, l]."""
+    from ..sampling.cbd import _check_variance
+
+    _check_variance(variance)
+    if l % 2:
+        raise ValueError("v3k requires even ring degree")
+    r = (jnp.asarray(row_off, jnp.uint32)
+         + jnp.arange(rows, dtype=jnp.uint32))[:, None]
+    c = (jnp.asarray(col_off, jnp.uint32)
+         + jnp.arange(cols, dtype=jnp.uint32))[None, :]
+    r = jnp.broadcast_to(r, (rows, cols))
+    c = jnp.broadcast_to(c, (rows, cols))
+    ternary = abs(float(variance) - 0.5) < 1e-6
+    v = 0 if ternary else int(variance)
+    two_v = 2 * v
+    planes = []
+    for jj in range(l):
+        x1 = ((c * np.uint32(l) + np.uint32(jj)) << 2) | np.uint32(3)
+        w0, w1 = threefry2x32(k0, k1, r, x1)
+        if ternary:
+            planes.append((w0 & np.uint32(1)).astype(jnp.int32)
+                          - (w1 & np.uint32(1)).astype(jnp.int32))
+            continue
+        # integer variance: identical word semantics to sample_vec_cbd
+        mask = np.uint32((1 << two_v) - 1) if two_v < 32 \
+            else np.uint32(0xFFFFFFFF)
+        add_bits = w0 & mask
+        if 2 * two_v <= 32:
+            sub_bits = (w0 >> two_v) & mask
+            sub_hi = jnp.zeros_like(w1)
+        else:
+            low_avail = 32 - two_v
+            sub_bits = w0 >> two_v
+            sub_hi = w1 & np.uint32((1 << (two_v - low_avail)) - 1)
+        add = jax.lax.population_count(add_bits)
+        sub = (jax.lax.population_count(sub_bits)
+               + jax.lax.population_count(sub_hi))
+        planes.append(add.astype(jnp.int32) - sub.astype(jnp.int32))
+    return jnp.stack(planes, axis=-1)
 
 
 def key_words(key):

@@ -207,9 +207,19 @@ def _encrypt_kernel_sharded(params: PvwParameters, mesh: Mesh,
         # r: row-keyed streams ("stream v2") — this shard samples ONLY its
         # k-block; rows are keyed by global row index so the values are
         # bit-identical to the single-device kernel on any mesh shape.
-        r_coeffs = sample_vec_cbd_rows(
-            k_r, my_k * kc, kc, (d, l), params.secret_variance
-        )                                                      # [kc, d, l]
+        # Under v3k the global-counter CBD twin serves the same property
+        # (and batch-axis independence too — see crypto/encryption.py).
+        if stream == "v3k":
+            from ..ops import tfry
+
+            rk0, rk1 = tfry.key_words(k_r)
+            r_coeffs = tfry.v3k_cbd_values(
+                rk0, rk1, my_k * kc, kc, d, l, params.secret_variance
+            )                                                  # [kc, d, l]
+        else:
+            r_coeffs = sample_vec_cbd_rows(
+                k_r, my_k * kc, kc, (d, l), params.secret_variance
+            )                                                  # [kc, d, l]
         # prescale the local r block once; both local products reuse it
         # (same engines as the single-device path: the one-pass Pallas
         # NTT+prescale on deep chains, the XLA pipeline elsewhere —
