@@ -308,7 +308,39 @@ def main():
     run_kdim_emulation(GOLDEN_CONFIG)
     run_limb_grid_legs(GOLDEN_CONFIG)
     run_v3k_sharded_leg(GOLDEN_CONFIG)
+    run_data_parallel_leg(GOLDEN_CONFIG)
     print("all sharded-TPU legs OK", flush=True)
+
+
+def run_data_parallel_leg(config):
+    """Leg 8: the dealer-batch data-parallel backend on silicon — two
+    dealer blocks on the one chip under the v3k stream must concatenate
+    to the single-device full-batch ciphertext bit-for-bit (the
+    global-counter noise + cbd-k r streams at work on hardware)."""
+    from pvw_tpu.config import settings
+    from pvw_tpu.crypto.encryption import encrypt_batch
+    from pvw_tpu.parallel import encrypt_batch_data_parallel
+
+    params, gpk, parties, root = _build_system(config)
+    d = config["d"]
+    rng = np.random.default_rng(config["seed"] + 4)
+    scalars = rng.integers(0, 1 << 20, (d, params.n), dtype=np.uint64)
+    key = jax.random.fold_in(root, 7)
+    dev = jax.devices()[0]
+    settings.noise_stream = "v3k"
+    settings.tile_m = int(config["tile_m"])
+    settings.tile_n = int(config["tile_n"])
+    try:
+        ct_ref = encrypt_batch(scalars, gpk, key)
+        ct_dp = encrypt_batch_data_parallel(scalars, gpk, key,
+                                            [dev, dev]).gather()
+        ok = all(np.array_equal(a, b) for a, b in
+                 zip(_ct_pairs(ct_ref), _ct_pairs(ct_dp)))
+        print("leg8 dealer data-parallel (v3k) bit-identical on silicon:",
+              ok, flush=True)
+        assert ok
+    finally:
+        settings.reset()
 
 
 def run_v3k_sharded_leg(config):

@@ -114,6 +114,31 @@ def main() -> None:
           lambda p: decrypt_party_shares_limb_parallel(
               ct_lp, parties[p].secret_key, p), 2)
 
+    # 2b. dealer-batch data-parallel (throughput scaling, zero
+    # collectives; bit-identity to the single-device batch holds under
+    # the v3k stream — see the module docstring)
+    from pvw_tpu.config import settings
+    from pvw_tpu.parallel import encrypt_batch_data_parallel
+
+    settings.noise_stream = "v3k"
+    try:
+        ct_ref_v3k = encrypt_batch(vectors, gpk, enc_key)
+        t0 = time.time()
+        ct_dp = encrypt_batch_data_parallel(vectors, gpk, enc_key,
+                                            devices[:4]).gather()
+        print(f"data-parallel over 4 devices encrypt in "
+              f"{time.time() - t0:.2f}s")
+        same = np.array_equal(np.asarray(ct_dp.c2.lo),
+                              np.asarray(ct_ref_v3k.c2.lo))
+        from pvw_tpu.crypto.decryption import decrypt_party_shares
+
+        vals = decrypt_party_shares(ct_dp, parties[4].secret_key, 4) \
+            if d == n else None
+        print(f"  data-parallel: bit-identical={same}")
+        assert same
+    finally:
+        settings.reset()
+
     # 3. 3-axis GRID: limb groups x (recv, kdim)
     if len(devices) >= 4:
         t0 = time.time()
