@@ -27,8 +27,11 @@ noise_stream         PVW_TPU_NOISE         Encryption-noise stream: ``"kernel"``
                                            Threefry-2x32-20 — a SPECIFIED
                                            CSPRNG fused into the matmul
                                            kernel, bit-identical across
-                                           backends and mesh shapes;
-                                           ops/tfry.py), or ``"v3"`` (legacy
+                                           backends, mesh shapes AND batch
+                                           splits; also switches the r
+                                           randomness to the global-counter
+                                           cbd-k twin — ops/tfry.py), or
+                                           ``"v3"`` (legacy
                                            separate threefry pass). See README
                                            "Noise streams & threat model" for
                                            the default decision. Off-TPU,
