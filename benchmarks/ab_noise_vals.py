@@ -60,9 +60,12 @@ def main():
         jax.clear_caches()
 
         def step(i):
+            from pvw_tpu.config import settings
+
             return _encrypt_kernel(
                 params, a_dig, b_dig, sc_hi, sc_lo,
                 jax.random.fold_in(key, 777 + i), True,
+                None, None, settings.kernel_noise_stream(),
             )
 
         out0 = step(0)

@@ -52,8 +52,11 @@ def main():
     key = jax.random.key(0)
 
     def run(i):
+        from pvw_tpu.config import settings
+
         return _encrypt_kernel(params, a_dig, b_dig, sch, scl,
-                               jax.random.fold_in(key, i))
+                               jax.random.fold_in(key, i), False,
+                               None, None, settings.kernel_noise_stream())
 
     out = run(0)
     np.asarray(out[0][(0,) * out[0].ndim])  # warm compile + scalar sync

@@ -58,8 +58,11 @@ def main():
 
     def run(i):
         # scalars are < 2^32 here, matching encrypt_batch's auto-detection
+        from pvw_tpu.config import settings
+
         return _encrypt_kernel(params, a_dig, b_dig, sch, scl,
-                               jax.random.fold_in(key, i), True)
+                               jax.random.fold_in(key, i), True,
+                               None, None, settings.kernel_noise_stream())
 
     t0 = time.time()
     out = run(0)

@@ -128,14 +128,15 @@ def main() -> None:
                                             devices[:4]).gather()
         print(f"data-parallel over 4 devices encrypt in "
               f"{time.time() - t0:.2f}s")
-        same = np.array_equal(np.asarray(ct_dp.c2.lo),
-                              np.asarray(ct_ref_v3k.c2.lo))
-        from pvw_tpu.crypto.decryption import decrypt_party_shares
-
-        vals = decrypt_party_shares(ct_dp, parties[4].secret_key, 4) \
-            if d == n else None
-        print(f"  data-parallel: bit-identical={same}")
-        assert same
+        same = (np.array_equal(np.asarray(ct_dp.c1.hi),
+                               np.asarray(ct_ref_v3k.c1.hi))
+                and np.array_equal(np.asarray(ct_dp.c2.lo),
+                                   np.asarray(ct_ref_v3k.c2.lo)))
+        vals = decrypt_party_shares_sharded(
+            ct_dp, parties[4].secret_key, 4, make_mesh(devices[:1], kdim=1))
+        ok = vals == [int(vectors[dd][4]) for dd in range(d)]
+        print(f"  data-parallel: bit-identical={same}, decrypt ok={ok}")
+        assert same and ok
     finally:
         settings.reset()
 

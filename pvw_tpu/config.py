@@ -194,12 +194,23 @@ class Settings:
         """Which in-kernel noise generator to use: ``"v4"`` (hardware
         PRNG), ``"v3k"`` (in-kernel Threefry-2x32-20 — a specified
         CSPRNG, bit-identical across backends and mesh shapes), or None
-        (legacy stream v3: separate threefry pass)."""
-        s = self.noise_stream
+        (legacy stream v3: separate threefry pass). Unknown values warn
+        and fall back to the default rather than silently dropping the
+        user from a requested CSPRNG to the hardware PRNG."""
+        s = str(self.noise_stream).strip().lower()
         if s == "v3":
             return None
         if s == "v3k":
             return "v3k"
+        if s not in ("kernel", "v4"):
+            import warnings
+
+            warnings.warn(
+                f"PVW_TPU_NOISE={self.noise_stream!r} is not a recognized "
+                "stream (kernel/v4/v3k/v3); using the default 'kernel' "
+                "(v4 hardware PRNG)",
+                stacklevel=2,
+            )
         return "v4"
 
     def use_fused_prescale(self, num_digits: int) -> bool:

@@ -1339,14 +1339,29 @@ def matmul_fold_scaled(lhs, rhs_scaled, ring: "RingPlan", noise=None,
             and not dots_first and post is None):
         # software-pipelined variant (round 5, DESIGN.md §9 overlap
         # lever): fold of channel c-1 under the dots of channel c.
-        # Bit-identical (tests/test_pipeline.py); opt-in pending the
-        # measured A/B.
-        oh, ol = _fused_pipelined_matmul(
-            ld, r2, tables, ntab, noise, encode, tile_m, tile_n, False,
-            ring.fold_words_ok, encode32, seeds, gen_static, n_vals,
-            in_jr,
-        )
-        return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)
+        # Bit-identical (tests/test_pipeline.py); opt-in (measured 0.67-
+        # 0.72x the fused kernel, BASELINE.md). The [2, C, TM, TN] int32
+        # column scratch is NOT in the fused cost model, so re-pick the
+        # tiles with it accounted (8*nd bytes/elt, deliberately over-
+        # counted — the raised VMEM envelopes were hardware-validated
+        # for the fused kernel only); if nothing fits, run the fused
+        # kernel rather than risking a Mosaic stack overflow.
+        ptiles = _pick_tiles(m, n, kd, nd, extra_mn + 8 * nd)
+        if ptiles is not None:
+            ptm, ptn = ptiles
+            ptm = min(ptm, m)
+            while m % ptm:
+                ptm //= 2
+            ptn = min(ptn, n)
+            while n % ptn:
+                ptn //= 2
+            if not ((ptm % 8 and ptm != m) or (ptn % 128 and ptn != n)):
+                oh, ol = _fused_pipelined_matmul(
+                    ld, r2, tables, ntab, noise, encode, ptm, ptn, False,
+                    ring.fold_words_ok, encode32, seeds, gen_static,
+                    n_vals, in_jr,
+                )
+                return oh.reshape(L, S, m, n), ol.reshape(L, S, m, n)
     oh, ol = _fused_scaled_noise_matmul(
         ld, r2, tables, ntab, noise, post_ch, encode, tile_m, tile_n, False,
         ring.fold_words_ok, encode32, seeds, gen_static, n_vals, in_jr,

@@ -13,16 +13,20 @@ This is the production answer for "more encryptions per second"; the
 (recv, kdim) mesh, limb-parallel, and grid backends remain for when B
 or the RNS chain itself cannot fit one device.
 
-Bit-identity: under ``noise_stream="v3k"`` the shard outputs concatenate
-to EXACTLY the single-device full-batch ciphertext — the v3k counters
-are global (row, column, coefficient) coordinates, and each shard passes
-its global dealer-column offset into the kernel, so it draws precisely
-the columns the full batch would (the ONLY stream that can be split over
+Bit-identity: under ``noise_stream="v3k"`` with both error bounds in the
+signed-digit range, the shard outputs concatenate to EXACTLY the
+single-device full-batch ciphertext — the v3k counters are global
+(row, column, coefficient) coordinates, and each shard passes its
+global dealer-column offset into the kernel, so it draws precisely the
+columns the full batch would (the ONLY stream that can be split over
 the batch axis bit-exactly: v3's jax.random counter layout depends on
-the draw shape, and v4's stream on the tile grid). Under v4 the shards
-draw valid, deterministic, but shard-layout-dependent noise; under
-huge bounds (>= min q_i, the sequential host stream) this backend
-refuses rather than silently changing the stream.
+the draw shape, and v4's stream on the tile grid). EVERY other
+configuration — v3/v4 streams, or v3k with residue-path bounds — uses an
+independent ``fold_in``-derived key per shard: still secure and
+deterministic, but shard-layout-dependent (reusing one key there would
+repeat the r randomness across shards, leaking message differences —
+see the in-code SECURITY note). Huge bounds (>= min q_i, the sequential
+host stream) are refused rather than silently changing the stream.
 
 Ref: rayon site P6 (``encryption.rs:277-283``) is the reference's own
 dealer-axis parallelism — this is its multi-chip form.
@@ -106,15 +110,32 @@ def encrypt_batch_data_parallel(all_scalars, global_pk: GlobalPublicKey,
     encode32 = not bool(np.any(arr >> np.uint64(32)))
     a_dig, b_dig = global_pk.encrypt_operands()
     stream = settings.kernel_noise_stream()
+    # SECURITY: the exact global-counter contract (every shard drawing
+    # the columns the full batch would) holds ONLY when both the noise
+    # and the r stream are column-global — i.e. v3k with both bounds in
+    # the signed-digit range. Outside it, v3/v4 streams ignore the
+    # column offset, and passing the SAME key to every shard would
+    # REUSE the encryption randomness r across shards: two dealers at
+    # the same local column would then differ only by noise (on the XLA
+    # path c2_a - c2_b = encode(m_a - m_b) exactly) — a message-
+    # difference leak. Those streams get an independent per-shard key
+    # instead: secure and deterministic, but shard-layout-dependent
+    # (documented; the bit-identity contract is v3k-only).
+    from ..ops.ntt import signed_digit_count
+
+    exact = (stream == "v3k"
+             and signed_digit_count(params.error_bound_1) > 0
+             and signed_digit_count(params.error_bound_2) > 0)
 
     shards = []
-    for off, sz, dev in zip(offsets, sizes, devices):
+    for idx, (off, sz, dev) in enumerate(zip(offsets, sizes, devices)):
+        shard_key = key if exact else jax.random.fold_in(key, 1_000_003 + idx)
         shards.append(_encrypt_kernel(
             params,
             jax.device_put(a_dig, dev), jax.device_put(b_dig, dev),
             jax.device_put(sc_hi[off:off + sz], dev),
             jax.device_put(sc_lo[off:off + sz], dev),
-            jax.device_put(key, dev), encode32, None, None, stream,
-            int(off),
+            jax.device_put(shard_key, dev), encode32, None, None, stream,
+            int(off) if exact else 0,
         ))
     return DealerShardedCiphertext(shards, offsets, params)

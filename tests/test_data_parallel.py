@@ -116,3 +116,53 @@ class TestDataParallel:
             encrypt_batch_data_parallel(vec, gpk,
                                         jax.random.fold_in(key, 5),
                                         jax.devices()[:2])
+
+    def test_no_randomness_reuse_default_stream(self):
+        """SECURITY pin (round-5 review finding): under non-v3k streams
+        each shard must use an independent key — identical r across
+        shards would make c2_a - c2_b = encode(m_a - m_b) + small noise,
+        leaking message differences. With per-shard keys, the c1 blocks
+        of two shards encrypting at the same LOCAL column must differ."""
+        p, gpk, parties, key = _system()
+        vec = np.array([[dd * 3 + r + 1 for r in range(p.n)]
+                        for dd in range(8)], np.uint64)
+        ct = encrypt_batch_data_parallel(
+            vec, gpk, jax.random.fold_in(key, 5), jax.devices()[:2])
+        s0, s1 = ct.shards[0], ct.shards[1]
+        # c1 = A r + e1 per dealer column; same r would make the two
+        # shards' c1 differ only by tiny noise — require full difference
+        assert not np.array_equal(np.asarray(s0[0]), np.asarray(s1[0]))
+        # and r-reuse specifically: c1 diffs should NOT decode as small
+        # noise. Compare a residue column pair directly:
+        c0 = np.asarray(s0[0])[..., 0].astype(np.int64)
+        c1 = np.asarray(s1[0])[..., 0].astype(np.int64)
+        q0 = int(p.ring.moduli[0]) >> 32
+        # crude: the hi-words should differ in many positions (noise
+        # alone could not move the hi word everywhere)
+        assert (c0 != c1).mean() > 0.5
+
+    def test_v3k_residue_window_falls_back_safely(self):
+        """v3k with a bound outside the signed-digit range (residue
+        fallback window): the exact contract cannot hold, so the backend
+        must take per-shard keys (no reuse, no silent wrong 'identity')
+        and still round-trip."""
+        B = 40_000  # > 32639 signed-digit max, < min(q)
+        p, gpk, parties, key = _system(bounds=(B, B))
+        if not p.verify_correctness_condition():
+            pytest.skip("bounds too large for this toy chain")
+        settings.noise_stream = "v3k"
+        try:
+            vec = np.array([[dd + r + 1 for r in range(p.n)]
+                            for dd in range(p.n)], np.uint64)
+            k5 = jax.random.fold_in(key, 5)
+            ct = encrypt_batch_data_parallel(
+                vec, gpk, k5, jax.devices()[:2]).gather()
+            ct_ref = encrypt_batch(vec, gpk, k5)
+            # NOT bit-identical (exact contract out of range) ...
+            assert not np.array_equal(np.asarray(ct.c2.lo),
+                                      np.asarray(ct_ref.c2.lo))
+            # ... but decrypts correctly
+            out = decrypt_party_shares(ct, parties[0].secret_key, 0)
+            assert out == [int(vec[dd][0]) for dd in range(p.n)]
+        finally:
+            settings.reset()

@@ -126,3 +126,40 @@ def test_pipelined_routed_end_to_end():
         assert out == [int(vec[d][1]) for d in range(n)]
     finally:
         settings.reset()
+
+
+@pytest.mark.parametrize("bound,in_planes", [(100, False), (2000, True),
+                                             (100, True)])
+def test_pipelined_value_plane_modes(bound, in_planes):
+    """The VALUE-PLANE MAC paths — the production-default mode on real
+    shapes (noise_vals > 0): in-kernel v3k generation into int32 value
+    planes, and the in_jr digit->value compose for input planes — must be
+    bit-identical between the pipelined and fused bodies."""
+    ring = RingPlan(MODULI, 8)
+    L, l, nd = ring.num_limbs, ring.degree, ring.num_digits
+    S = l
+    m, k, n = 16, 6, 8
+    rng = np.random.default_rng(21)
+    ld, r2, tables = _setup(ring, m, k, n, rng)
+    jr = ntt_ops.signed_digit_count(bound)
+    ntab_vals = jnp.asarray(ring.ntt_scaled_tab(1), jnp.int32).reshape(
+        L * S, l, nd)
+    if in_planes:
+        ev = rng.integers(-bound, bound + 1, (m, n, l)).astype(np.int32)
+        dig = ntt_ops._signed_digits(jnp.asarray(ev), jr)
+        planes = jnp.transpose(dig, (2, 3, 0, 1)).reshape(l * jr, m, n)
+        args = dict(noise=planes, seeds=None, gen=None, in_jr=jr)
+    else:
+        seeds = jnp.asarray([5, 11, 0, 0], jnp.int32)
+        args = dict(noise=None, seeds=seeds, gen=(l, jr, bound, True),
+                    in_jr=0)
+    fh, fl = pm._fused_scaled_noise_matmul(
+        ld, r2, tables, ntab_vals, args["noise"], None, None, 8, 8, True,
+        ring.fold_words_ok, False, args["seeds"], args["gen"], l,
+        args["in_jr"], False, False)
+    ph, pl_ = pm._fused_pipelined_matmul(
+        ld, r2, tables, ntab_vals, args["noise"], None, 8, 8, True,
+        ring.fold_words_ok, False, args["seeds"], args["gen"], l,
+        args["in_jr"])
+    np.testing.assert_array_equal(np.asarray(ph), np.asarray(fh))
+    np.testing.assert_array_equal(np.asarray(pl_), np.asarray(fl))
