@@ -89,6 +89,18 @@ pipeline_fold        PVW_TPU_PIPELINE      EXPERIMENTAL: software-pipelined
                                            (DESIGN.md §9 overlap lever,
                                            round 5). Bit-identical; routing
                                            per the measured A/B (False).
+vmem_limit_mb        PVW_TPU_VMEM_LIMIT_MB Raise Mosaic's scoped-VMEM ceiling
+                                           for the Pallas kernels to this many
+                                           MiB (``CompilerParams.vmem_limit_
+                                           bytes``). The default ~16 MiB
+                                           ceiling is a compiler soft limit —
+                                           v5e physically has ~128 MiB of VMEM
+                                           (a 96 MiB working set measured
+                                           compiling AND running, round 5) —
+                                           but every raised-limit tile must
+                                           still be hardware-validated before
+                                           the auto pick may use it (0/unset =
+                                           compiler default).
 trace                PVW_TPU_TRACE         Enable span tracing to stderr
                                            (False).
 jax_cache_dir        PVW_TPU_JAX_CACHE     Persistent JAX compilation cache
@@ -167,6 +179,7 @@ class Settings:
     fused_prescale: str = _Knob("PVW_TPU_FUSED_PRESCALE", "auto")
     swapped_form: bool = _Knob("PVW_TPU_SWAPPED", False, _parse_bool)
     pipeline_fold: bool = _Knob("PVW_TPU_PIPELINE", False, _parse_bool)
+    vmem_limit_mb: Optional[int] = _Knob("PVW_TPU_VMEM_LIMIT_MB", None, int)
     trace: bool = _Knob("PVW_TPU_TRACE", False, _parse_bool)
     jax_cache_dir: Optional[str] = _Knob("PVW_TPU_JAX_CACHE", None)
 

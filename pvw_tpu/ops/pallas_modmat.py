@@ -456,6 +456,7 @@ def _fused_banded_matmul(lhs_dig, band, tables, tile_m: int, tile_n: int,
         ],
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(tables, lhs_dig, band)
 
 
@@ -547,6 +548,24 @@ _VMEM_LIMIT_TALL = 28_700_000
 #   neighbor was REJECTED there (encrypt stack 17.00M > 16M).
 _VMEM_LIMIT_MID = 17_825_792
 _VMEM_LIMIT_DEEP = 17_301_504
+
+
+def _compiler_params(interpret: bool = False):
+    """Mosaic compiler params for the production kernels: when
+    ``settings.vmem_limit_mb`` is set, raise the scoped-VMEM ceiling via
+    ``CompilerParams.vmem_limit_bytes``. The default ~16 MiB ceiling is a
+    compiler soft limit, not the hardware: a 96 MiB VMEM working set
+    measured compiling and running on this v5e (round 5,
+    benchmarks/probe_vmem_tiles.py). Returns None (compiler default)
+    when unset or interpreting."""
+    if interpret:
+        return None
+    from ..config import settings
+
+    mb = settings.vmem_limit_mb
+    if not mb:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=int(mb) * 1024 * 1024)
 
 
 def _tile_cost(tile_m: int, tile_n: int, kd: int, C: int,
@@ -724,6 +743,7 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(*operands)
     return oh, ol
 
@@ -1025,6 +1045,7 @@ def _fused_pipelined_matmul(lhs_dig, band, tables, ntab, noise, encode,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(*operands)
     return oh, ol
 
@@ -1635,6 +1656,7 @@ def ntt_prescale_band(coeffs, ring: "RingPlan", max_abs: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((CH, nd, k * nd, d), jnp.int8),
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(jnp.asarray(tabs), jnp.asarray(ntab), xd)
     return out.reshape(L, l, nd, k * nd, d)
 

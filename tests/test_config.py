@@ -7,7 +7,14 @@ import pytest
 from pvw_tpu.config import Settings, settings
 
 
-def test_defaults():
+def test_defaults(monkeypatch):
+    # isolate from ambient knob env (CI's math shard runs under
+    # PVW_TPU_NO_NATIVE=1, which is not this test's subject)
+    for var in ("PVW_TPU_NOISE", "PVW_TPU_DECODE",
+                "PVW_TPU_DECODE_CROSSOVER", "PVW_TPU_NO_NATIVE",
+                "PVW_NUM_DIGITS", "PVW_NO_PALLAS", "PVW_TPU_DOTS_FIRST",
+                "PVW_TPU_NOISE_VALS"):
+        monkeypatch.delenv(var, raising=False)
     s = Settings()
     assert s.noise_stream == "kernel"
     assert s.decode_mode == "auto"
@@ -66,7 +73,7 @@ def test_describe_lists_every_knob():
         "noise_stream", "decode_mode", "decode_crossover", "no_native",
         "num_digits", "tile_m", "tile_n", "no_pallas", "dots_first",
         "noise_value_mac", "fused_prescale", "swapped_form",
-        "pipeline_fold", "trace", "jax_cache_dir",
+        "pipeline_fold", "vmem_limit_mb", "trace", "jax_cache_dir",
     }
 
 
@@ -119,3 +126,28 @@ def test_num_digits_validation(monkeypatch):
     monkeypatch.setenv("PVW_NUM_DIGITS", "1")  # below minimal exact width
     with pytest.raises(InvalidParameters, match="PVW_NUM_DIGITS"):
         RingPlan((0xFFFFEE001, 0xFFFFC4001), 8)
+
+
+def test_vmem_limit_knob(monkeypatch):
+    """Round-5 knob: settings.vmem_limit_mb raises Mosaic's scoped-VMEM
+    ceiling per Pallas kernel (the ~16 MiB default is a compiler soft
+    limit; v5e physically has ~128 MiB — probe_vmem_tiles.py)."""
+    from pvw_tpu.ops.pallas_modmat import _compiler_params
+
+    # default: no override -> compiler default (None), and interpret
+    # mode never passes params
+    assert settings.vmem_limit_mb is None
+    assert _compiler_params() is None
+    assert _compiler_params(interpret=True) is None
+    monkeypatch.setenv("PVW_TPU_VMEM_LIMIT_MB", "100")
+    assert settings.vmem_limit_mb == 100
+    cp = _compiler_params()
+    assert cp is not None and cp.vmem_limit_bytes == 100 * 1024 * 1024
+    assert _compiler_params(interpret=True) is None
+    monkeypatch.delenv("PVW_TPU_VMEM_LIMIT_MB")
+    settings.vmem_limit_mb = 64
+    try:
+        assert _compiler_params().vmem_limit_bytes == 64 * 1024 * 1024
+    finally:
+        settings.reset()
+    assert _compiler_params() is None
