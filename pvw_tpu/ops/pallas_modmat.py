@@ -550,19 +550,26 @@ _VMEM_LIMIT_MID = 17_825_792
 _VMEM_LIMIT_DEEP = 17_301_504
 
 
-def _compiler_params(interpret: bool = False):
+def _compiler_params(interpret: bool = False, floor_mb: int | None = None):
     """Mosaic compiler params for the production kernels: when
     ``settings.vmem_limit_mb`` is set, raise the scoped-VMEM ceiling via
     ``CompilerParams.vmem_limit_bytes``. The default ~16 MiB ceiling is a
     compiler soft limit, not the hardware: a 96 MiB VMEM working set
     measured compiling and running on this v5e (round 5,
-    benchmarks/probe_vmem_tiles.py). Returns None (compiler default)
-    when unset or interpreting."""
+    benchmarks/probe_vmem_tiles.py). ``floor_mb`` lets a kernel variant
+    whose real stack is measured a hair over the default ceiling request
+    the headroom it needs (the v3k threefry variant at the DEEP-envelope
+    tile: 16.06 MiB stack vs the 16.00 MiB default — 64 KiB over —
+    while the v4 variant the envelope was validated on fits; same model
+    cost, so the tile search cannot discriminate). Returns None
+    (compiler default) when nothing raises the limit or interpreting."""
     if interpret:
         return None
     from ..config import settings
 
-    mb = settings.vmem_limit_mb
+    mb = settings.vmem_limit_mb or 0
+    if floor_mb:
+        mb = max(int(mb), floor_mb)
     if not mb:
         return None
     return pltpu.CompilerParams(vmem_limit_bytes=int(mb) * 1024 * 1024)
@@ -743,7 +750,15 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-        compiler_params=_compiler_params(interpret),
+        # the v3k threefry variant's real stack runs ~64 KiB over the
+        # default ceiling at the DEEP-envelope tile (measured: 16.06M at
+        # threshold_256bit, hardware-validated compiling AND running
+        # bit-identical at an 18 MiB limit — round 5); the v4 variant
+        # fits and keeps the compiler default
+        compiler_params=_compiler_params(
+            interpret,
+            floor_mb=18 if (gen_noise is not None and len(gen_noise) > 3
+                            and gen_noise[3]) else None),
     )(*operands)
     return oh, ol
 
@@ -1600,8 +1615,15 @@ def _prescale_tile(ring: "RingPlan", k: int, d: int):
     Temporaries calibrated against a measured Mosaic stack (19.07M total
     at k=256, td=256, nd=5, jr=1 => ~226 B per (k*td) element), scaled by
     nd^2 (the live digit-plane set dominates)."""
+    from ..config import settings
+
     nd, l = ring.num_digits, ring.degree
     jr_max = 2
+    # settings.vmem_limit_mb raises the Mosaic ceiling per kernel
+    # (_compiler_params), so the tile search may use it too (with a 1/16
+    # headroom margin); unset keeps the long-validated 15 MiB budget
+    mb = settings.vmem_limit_mb
+    limit = (int(mb) * 15 // 16) * 1024 * 1024 if mb else 15 * 1024 * 1024
     for td in (512, 256, 128):
         if d % td:
             continue
@@ -1609,7 +1631,7 @@ def _prescale_tile(ring: "RingPlan", k: int, d: int):
         while kt >= 8:
             blocks = 2 * (l * jr_max * kt * td + nd * kt * nd * td)
             temps = 240 * kt * td * nd * nd // 25
-            if k % kt == 0 and blocks + temps <= 15 * 1024 * 1024:
+            if k % kt == 0 and blocks + temps <= limit:
                 return kt, td
             kt //= 2
     return None
