@@ -151,3 +151,23 @@ def test_vmem_limit_knob(monkeypatch):
     finally:
         settings.reset()
     assert _compiler_params() is None
+
+
+def test_vmem_floor_semantics(monkeypatch):
+    """The v3k threefry kernel variant requests an 18 MiB floor (its real
+    Mosaic stack measured 64 KiB over the 16 MiB default at the
+    DEEP-envelope tile — BASELINE.md round-5); the floor combines with
+    the knob as max(knob, floor)."""
+    from pvw_tpu.ops.pallas_modmat import _compiler_params
+
+    monkeypatch.delenv("PVW_TPU_VMEM_LIMIT_MB", raising=False)
+    cp = _compiler_params(floor_mb=18)
+    assert cp is not None and cp.vmem_limit_bytes == 18 * 1024 * 1024
+    settings.vmem_limit_mb = 100
+    try:
+        assert _compiler_params(floor_mb=18).vmem_limit_bytes \
+            == 100 * 1024 * 1024
+    finally:
+        settings.reset()
+    # interpret mode never passes params, floor or not
+    assert _compiler_params(interpret=True, floor_mb=18) is None
