@@ -456,7 +456,8 @@ def _fused_banded_matmul(lhs_dig, band, tables, tile_m: int, tile_n: int,
         ],
         out_shape=out_shape,
         interpret=interpret,
-        compiler_params=_compiler_params(interpret),
+        compiler_params=_compiler_params(
+            interpret, floor_mb=_floor_mb(tile_m, tile_n, kd, C)),
     )(tables, lhs_dig, band)
 
 
@@ -549,6 +550,34 @@ _VMEM_LIMIT_TALL = 28_700_000
 _VMEM_LIMIT_MID = 17_825_792
 _VMEM_LIMIT_DEEP = 17_301_504
 
+# Round-5 XL (2048, 128) envelope — the first tile past the default
+# Mosaic ceiling adopted into the auto pick. Hardware-validated at the
+# headline family ONLY (m=4096, n(batch) >= 8192, kd <= 1280, C <= 9):
+# compiles and runs at a 100 MiB Mosaic limit in BOTH kernel variants
+# (v4-vals model cost 53.0M; v3k-threefry 61.4M = this gate's ceiling,
+# bit-identical v3k identity leg), and wins the deciding A/B/A/B at
+# every round — pooled 1.0068x vs (1024,128), rounds 1.0076/1.0091/
+# 1.0037, peak 118,040 enc/s (benchmarks/ab_tall2048.py; every OTHER
+# raised-limit tile measured neutral-to-worse, BASELINE.md round-5
+# scoped-VMEM table). Call sites must raise the Mosaic limit for it —
+# _floor_mb() detects the family by model cost and requests 100 MiB.
+_VMEM_LIMIT_XL = 61_407_232
+
+
+def _floor_mb(tile_m: int, tile_n: int, kd: int, C: int,
+              tfry: bool = False) -> int | None:
+    """Per-kernel Mosaic-limit floor (MiB) for tile families that need
+    more than the ~16 MiB compiler default: the XL family (detected by
+    the extra-free model cost — 25.0M at (2048,128)/kd=1280 vs <= 14M
+    for every default-ceiling family) needs the 100 MiB limit it was
+    validated at; the v3k threefry variant needs 18 MiB at the
+    DEEP-envelope tile (real stack 16.06M, measured)."""
+    cost0 = (2 * (tile_m * kd + C * kd * tile_n + 8 * tile_m * tile_n)
+             + 48 * tile_m * tile_n)
+    if cost0 > 20 * 1024 * 1024:
+        return 100
+    return 18 if tfry else None
+
 
 def _compiler_params(interpret: bool = False, floor_mb: int | None = None):
     """Mosaic compiler params for the production kernels: when
@@ -605,6 +634,13 @@ def _pick_tiles(m: int, n: int, kd: int, C: int, extra_mn: int = 0):
     # r4-validated member) but hit 16.13M > 16M at n=1024 (v4 production
     # kernel, measured this round); below the validated n range the pick
     # falls to (512, 128), the r1-r3 hardware-validated default
+    # XL (2048, 128) — round 5, see _VMEM_LIMIT_XL: headline family
+    # only, +0.68% pooled over the tall tile, needs the raised Mosaic
+    # limit (call sites request it via _floor_mb)
+    if (2048 <= m <= 4096 and m % 2048 == 0 and n >= 8192 and kd <= 1280
+            and C <= 9
+            and _tile_cost(2048, 128, kd, C, extra_mn) <= _VMEM_LIMIT_XL):
+        return 2048, 128
     if (1024 <= m <= 4096 and n >= 8192 and kd <= 1280 and C <= 9
             and _tile_cost(1024, 128, kd, C, extra_mn) <= _VMEM_LIMIT_TALL):
         return 1024, 128
@@ -750,15 +786,18 @@ def _fused_scaled_noise_matmul(lhs_dig, band, tables, ntab, noise, post,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-        # the v3k threefry variant's real stack runs ~64 KiB over the
-        # default ceiling at the DEEP-envelope tile (measured: 16.06M at
-        # threshold_256bit, hardware-validated compiling AND running
-        # bit-identical at an 18 MiB limit — round 5); the v4 variant
-        # fits and keeps the compiler default
+        # _floor_mb: the XL tile family needs the 100 MiB limit it was
+        # validated at, and the v3k threefry variant's real stack runs
+        # ~64 KiB over the default ceiling at the DEEP-envelope tile
+        # (measured: 16.06M at threshold_256bit, hardware-validated
+        # compiling AND running bit-identical at an 18 MiB limit); the
+        # v4 variant at default tiles keeps the compiler default
         compiler_params=_compiler_params(
             interpret,
-            floor_mb=18 if (gen_noise is not None and len(gen_noise) > 3
-                            and gen_noise[3]) else None),
+            floor_mb=_floor_mb(
+                tile_m, tile_n, lhs_dig.shape[2], band.shape[1],
+                tfry=(gen_noise is not None and len(gen_noise) > 3
+                      and bool(gen_noise[3])))),
     )(*operands)
     return oh, ol
 
@@ -1060,7 +1099,12 @@ def _fused_pipelined_matmul(lhs_dig, band, tables, ntab, noise, encode,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-        compiler_params=_compiler_params(interpret),
+        compiler_params=_compiler_params(
+            interpret,
+            floor_mb=_floor_mb(
+                tile_m, tile_n, kd, C,
+                tfry=(gen_noise is not None and len(gen_noise) > 3
+                      and bool(gen_noise[3])))),
     )(*operands)
     return oh, ol
 
