@@ -9,6 +9,8 @@ round >= 1.0 (the +1.4% (1024,128) adoption bar from round 4, tightened
 for the smaller effect).
 
 Usage: AB_ROUNDS=3 AB_REPS=20 python benchmarks/ab_tall2048.py
+Env: AB_N (receivers, default 4096), AB_BATCH (default 8192), AB_TILE
+("2048,128"), so the same deciding harness covers the n=8192 family.
 """
 
 from __future__ import annotations
@@ -31,11 +33,14 @@ def main():
     from pvw_tpu.crypto.encryption import _encrypt_kernel, _scalars_to_pairs
     from pvw_tpu.sampling.cbd import sample_vec_cbd
 
-    n, k, l = 4096, 256, 8
+    n = int(os.environ.get("AB_N", "4096"))
+    k, l = 256, 8
     moduli = (0xFFFFC4001, 0x1FFFFE0001)
     batch = int(os.environ.get("AB_BATCH", "8192"))
     reps = int(os.environ.get("AB_REPS", "20"))
     rounds = int(os.environ.get("AB_ROUNDS", "3"))
+    cand = tuple(int(x) for x in
+                 os.environ.get("AB_TILE", "2048,128").split(","))
     log = lambda *a: print(*a, file=sys.stderr, flush=True)  # noqa: E731
 
     b1, b2 = PvwParameters.suggest_error_bounds(n, k, l, moduli, 0.5)
@@ -87,15 +92,15 @@ def main():
     ratios = []
     a_rates, b_rates = [], []
     for r in range(rounds):
-        log(f"--- round {r + 1}/{rounds} ---")
-        ra = run(None, None, "(1024,128) default")
-        rb = run((2048, 128), 100, "(2048,128) @100MB")
+        log(f"--- round {r + 1}/{rounds} (n={n}, batch={batch}) ---")
+        ra = run(None, None, "auto-default tiles")
+        rb = run(cand, 100, f"{cand} @100MB")
         a_rates.append(ra)
         b_rates.append(rb)
         ratios.append(rb / ra)
         log(f"  round ratio: {rb / ra:.4f}")
     pooled = sum(b_rates) / sum(a_rates)
-    log(f"pooled (2048,128)/(1024,128): {pooled:.4f} "
+    log(f"pooled {cand}/default: {pooled:.4f} "
         f"(rounds: {', '.join(f'{x:.4f}' for x in ratios)})")
     log(f"verdict: {'ADOPT-candidate' if pooled >= 1.005 and min(ratios) >= 1.0 else 'no adoption'}")
 

@@ -37,6 +37,11 @@ SHAPES = {
     "headline": (4096, 256, 8, (0xFFFFC4001, 0x1FFFFE0001), 8192,
                  [(2048, 128), (4096, 128), (1024, 256), (2048, 256),
                   (1024, 512)]),
+    # pvss_8192 (m=8192 receivers): the tall tiles were never testable
+    # here — Mosaic rejected m=8192 at the default ceiling (16.13M,
+    # DESIGN.md §9 r4) — the raised limit makes them probeable
+    "pvss8192": (8192, 256, 8, (0xFFFFC4001, 0x1FFFFE0001), 2048,
+                 [(1024, 128), (2048, 128), (4096, 128)]),
     # shares_n1024 family (4 x 55-bit limbs, nd=5): kd = 1280
     "config3": (1024, 256, 8,
                 (0x80000000080001, 0x80000000130001,

@@ -634,11 +634,14 @@ def _pick_tiles(m: int, n: int, kd: int, C: int, extra_mn: int = 0):
     # r4-validated member) but hit 16.13M > 16M at n=1024 (v4 production
     # kernel, measured this round); below the validated n range the pick
     # falls to (512, 128), the r1-r3 hardware-validated default
-    # XL (2048, 128) — round 5, see _VMEM_LIMIT_XL: headline family
-    # only, +0.68% pooled over the tall tile, needs the raised Mosaic
-    # limit (call sites request it via _floor_mb)
-    if (2048 <= m <= 4096 and m % 2048 == 0 and n >= 8192 and kd <= 1280
-            and C <= 9
+    # XL (2048, 128) — round 5, see _VMEM_LIMIT_XL: two validated
+    # families, both needing the raised Mosaic limit (call sites request
+    # it via _floor_mb): the headline (m <= 4096, batch >= 8192, +0.68%
+    # pooled) and the 8192-receiver family (m = 8192, batch >= 2048,
+    # +2.48% pooled — benchmarks/ab_tall2048.py AB_N=8192)
+    if (((2048 <= m <= 4096 and m % 2048 == 0 and n >= 8192)
+         or (m == 8192 and n >= 2048))
+            and kd <= 1280 and C <= 9
             and _tile_cost(2048, 128, kd, C, extra_mn) <= _VMEM_LIMIT_XL):
         return 2048, 128
     if (1024 <= m <= 4096 and n >= 8192 and kd <= 1280 and C <= 9
