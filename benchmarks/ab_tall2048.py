@@ -41,15 +41,22 @@ def main():
     rounds = int(os.environ.get("AB_ROUNDS", "3"))
     cand = tuple(int(x) for x in
                  os.environ.get("AB_TILE", "2048,128").split(","))
+    preset = os.environ.get("AB_PRESET")
     log = lambda *a: print(*a, file=sys.stderr, flush=True)  # noqa: E731
 
-    b1, b2 = PvwParameters.suggest_error_bounds(n, k, l, moduli, 0.5)
-    params = (
-        PvwParametersBuilder()
-        .set_parties(n).set_dimension(k).set_l(l)
-        .set_moduli(moduli).set_secret_variance(0.5)
-        .set_error_bounds_u32(b1, b2).build()
-    )
+    if preset:
+        from pvw_tpu.params import presets
+
+        params = presets.get_preset(preset)
+        n, k, l = params.n, params.k, params.l
+    else:
+        b1, b2 = PvwParameters.suggest_error_bounds(n, k, l, moduli, 0.5)
+        params = (
+            PvwParametersBuilder()
+            .set_parties(n).set_dimension(k).set_l(l)
+            .set_moduli(moduli).set_secret_variance(0.5)
+            .set_error_bounds_u32(b1, b2).build()
+        )
     key = jax.random.key(0)
     crs = PvwCrs.new(params, jax.random.fold_in(key, 0))
     coeffs = sample_vec_cbd(
